@@ -1,0 +1,66 @@
+"""small_gicp_tpu — a TPU-native point-cloud registration framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+koide3/small_gicp (reference: /root/reference): voxelgrid downsampling,
+batched nearest-neighbor search, normal/covariance estimation, and
+ICP / point-to-plane ICP / GICP / VGICP registration driven by
+Gauss-Newton / Levenberg-Marquardt optimizers with SE(3) exp-map updates.
+
+Everything is built on fixed-shape batched arrays (padding + masks), jitted
+end-to-end, and scales over TPU meshes with jax.sharding collectives.
+
+Public API mirrors the reference's Python binding surface
+(reference: src/python/python.cpp:16-27, align.cpp:95-106).
+"""
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.utils.lie import se3_exp, so3_exp, skew
+from small_gicp_tpu.utils.io import read_ply, write_ply, read_kitti_bin
+from small_gicp_tpu.ops.downsampling import voxelgrid_sampling, random_sampling
+from small_gicp_tpu.ops.knn import KdTree, knn_search, nearest_neighbor_search
+from small_gicp_tpu.ops.normals import (
+    estimate_normals,
+    estimate_covariances,
+    estimate_normals_covariances,
+)
+from small_gicp_tpu.models.registration import (
+    RegistrationResult,
+    Registration,
+    align_points,
+)
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.models.helper import (
+    RegistrationSetting,
+    preprocess_points,
+    create_gaussian_voxelmap,
+    align,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PointCloud",
+    "se3_exp",
+    "so3_exp",
+    "skew",
+    "read_ply",
+    "write_ply",
+    "read_kitti_bin",
+    "voxelgrid_sampling",
+    "random_sampling",
+    "KdTree",
+    "knn_search",
+    "nearest_neighbor_search",
+    "estimate_normals",
+    "estimate_covariances",
+    "estimate_normals_covariances",
+    "RegistrationResult",
+    "Registration",
+    "align_points",
+    "GaussianVoxelMap",
+    "IncrementalVoxelMap",
+    "RegistrationSetting",
+    "preprocess_points",
+    "create_gaussian_voxelmap",
+    "align",
+]

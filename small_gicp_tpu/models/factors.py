@@ -1,0 +1,169 @@
+"""Per-point error factors (ICP / point-to-plane / GICP) — fully batched.
+
+The reference implements one C++ struct per factor with a scalar
+linearize()/error() pair invoked per source point under OMP/TBB
+(factors/icp_factor.hpp:14-70, plane_icp_factor.hpp:14-75,
+gicp_factor.hpp:14-97). On TPU the three unify into a single batched
+formulation: every factor is
+
+    r_i = mu_i − T·p_i              (3-vector residual)
+    e_i = ½ r_iᵀ W_i r_i
+    J_i = [R·skew(p_i) | −R]        (3x6 geometric Jacobian)
+    H_i = J_iᵀ W_i J_i,   b_i = J_iᵀ W_i r_i
+
+with a per-point 3x3 weight matrix W_i that carries the factor type:
+
+    ICP        W = I                      (icp_factor.hpp:34-53)
+    PLANE_ICP  W = diag(n ∘ n)            (the reference's element-wise
+               n⊙r residual — plane_icp_factor.hpp:46-54 — expands to
+               exactly this quadratic form)
+    GICP       W = (C_target + R C_source Rᵀ)⁻¹   (gicp_factor.hpp:59-60)
+
+Correspondences (NN index, inlier mask, W) are the state the reference
+caches inside each factor object; here they are arrays, frozen between
+linearizations exactly as the reference freezes them for the LM inner
+error evaluations (optimizer.hpp:113 reuses stored indices/mahalanobis).
+
+Robust kernels (factors/robust_kernel.hpp): weight = huber(√e) or
+cauchy(√e) applied multiplicatively to (H, b, e) at linearize, and
+recomputed from the new per-point error at every error() call
+(robust_kernel.hpp:85,97).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from small_gicp_tpu.utils.lie import skew
+
+ICP = "icp"
+PLANE_ICP = "plane_icp"
+GICP = "gicp"
+
+FACTOR_TYPES = (ICP, PLANE_ICP, GICP)
+
+
+@struct.dataclass
+class Correspondences:
+    """Frozen per-source-point correspondence state (pytree).
+
+    Equivalent to the reference's vector<Factor> state: target_index,
+    inlier flag, and the cached weight/mahalanobis matrix
+    (gicp_factor.hpp:94-96).
+    """
+
+    target_mu: jax.Array  # [N,3] corresponding target point (gathered)
+    W: jax.Array  # [N,3,3] weight matrix (I / diag(n²) / mahalanobis)
+    mask: jax.Array  # [N] bool inlier mask
+    target_idx: jax.Array  # [N] int32 (for introspection/tests)
+
+
+def make_weights(
+    factor_type: str,
+    T: jax.Array,
+    num_points: int,
+    source_covs: Optional[jax.Array],
+    target_normals: Optional[jax.Array],
+    target_covs: Optional[jax.Array],
+) -> jax.Array:
+    """Build the per-point [N,3,3] weight matrices for a factor type."""
+    from small_gicp_tpu.ops.eigh3 import inv3x3
+
+    if factor_type == ICP:
+        return jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), (num_points, 3, 3))
+    if factor_type == PLANE_ICP:
+        if target_normals is None:
+            raise ValueError("point-to-plane ICP requires target normals")
+        n = target_normals[:, :3]
+        w = n * n  # diag entries of diag(n)ᵀdiag(n)
+        out = jnp.zeros((n.shape[0], 3, 3), dtype=n.dtype)
+        out = out.at[:, 0, 0].set(w[:, 0])
+        out = out.at[:, 1, 1].set(w[:, 1])
+        out = out.at[:, 2, 2].set(w[:, 2])
+        return out
+    if factor_type == GICP:
+        if source_covs is None or target_covs is None:
+            raise ValueError("GICP requires source and target covariances")
+        R = T[:3, :3]
+        rcr = target_covs + jnp.einsum("ij,njk,lk->nil", R, source_covs, R)
+        return inv3x3(rcr)
+    raise ValueError(f"unknown factor type {factor_type!r}")
+
+
+def robust_weight(kernel: Optional[str], c, e: jax.Array) -> jax.Array:
+    """w(√e) per robust_kernel.hpp: Huber min(1, c/|x|), Cauchy c/(c+x²).
+
+    `e` is the per-point error BEFORE weighting; the kernel argument is
+    √e (robust_kernel.hpp:85).
+    """
+    if kernel is None:
+        return jnp.ones_like(e)
+    x = jnp.sqrt(jnp.maximum(e, 0.0))
+    if kernel == "huber":
+        safe = jnp.maximum(x, 1e-30)
+        return jnp.where(x < c, jnp.ones_like(x), c / safe)
+    if kernel == "cauchy":
+        return c / (c + x * x)
+    raise ValueError(f"unknown robust kernel {kernel!r}")
+
+
+def geometric_jacobian(T: jax.Array, source_xyz: jax.Array) -> jax.Array:
+    """[N,3,6] J = [R·skew(p) | −R], d(residual)/d(twist) at T
+    (gicp_factor.hpp:64-66; twist is [rx ry rz tx ty tz])."""
+    R = T[:3, :3]
+    Jr = jnp.einsum("ij,njk->nik", R, skew(source_xyz))  # [N,3,3]
+    Jt = jnp.broadcast_to(-R, (source_xyz.shape[0], 3, 3))
+    return jnp.concatenate([Jr, Jt], axis=-1)
+
+
+def linearize(
+    corr: Correspondences,
+    T: jax.Array,
+    source_points: jax.Array,
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Masked reduction of (H [6,6], b [6], e scalar) over all factors.
+
+    Equivalent to SerialReduction / ParallelReductionOMP / TBB
+    (registration/reduction.hpp:11-63 and parallel variants): the
+    per-thread accumulator pattern becomes one flattened [6,3N]x[3N,6]
+    matmul on the MXU.
+    """
+    n = source_points.shape[0]
+    transed = source_points @ T.T  # [N,4]
+    r = corr.target_mu - transed[:, :3]  # [N,3]
+    J = geometric_jacobian(T, source_points[:, :3])  # [N,3,6]
+
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r)  # [N,3]
+    e_i = 0.5 * jnp.sum(r * Wr, axis=-1)  # [N]
+    w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
+
+    WJ = jnp.einsum("nij,njk->nik", corr.W, J)  # [N,3,6]
+    WJw = WJ * w[:, None, None]
+    # H = Σ JᵀWJ as one [6,3N]·[3N,6] contraction (MXU-friendly).
+    H = jnp.einsum("nij,nik->jk", J, WJw)
+    b = jnp.einsum("nij,ni->j", J, Wr * w[:, None])
+    e = jnp.sum(e_i * w)
+    return H, b, e
+
+
+def error(
+    corr: Correspondences,
+    T: jax.Array,
+    source_points: jax.Array,
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
+) -> jax.Array:
+    """Total error at T with frozen correspondences (reduction error path,
+    reduction.hpp:44-62; per-factor error gicp_factor.hpp:81-89)."""
+    transed = source_points @ T.T
+    r = corr.target_mu - transed[:, :3]
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r)
+    e_i = 0.5 * jnp.sum(r * Wr, axis=-1)
+    w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
+    return jnp.sum(e_i * w)

@@ -1,0 +1,216 @@
+"""LiDAR odometry engines (scan-to-scan and scan-to-model).
+
+TPU re-design of the reference's 14 odometry benchmark engines
+(src/benchmark/odometry_benchmark_*.cpp; registry benchmark_odom.hpp:29-117).
+The OMP/TBB/flow-graph parallel variants collapse into one jitted
+per-frame step — a single XLA program per frame covering
+downsample → covariance estimation → correspondence search → LM solve →
+(for model engines) voxel map insert. The host loop only feeds frames
+and collects poses; device state (previous cloud / voxel map / pose)
+never leaves HBM.
+
+Engines (reference counterparts):
+  * ScanToScanOdometry      — odometry_benchmark_small_gicp{,_omp,_tbb}.cpp
+  * ScanToModelOdometry     — odometry_benchmark_small_gicp_model_{omp,tbb}.cpp
+                              (IncrementalVoxelMap target, absolute pose)
+  * VGICPModelOdometry      — odometry_benchmark_small_vgicp_model_{omp,tbb}.cpp
+                              (GaussianVoxelMap target)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud
+from small_gicp_tpu.ops.downsampling import voxelgrid_sampling
+from small_gicp_tpu.ops.normals import estimate_covariances
+from small_gicp_tpu.models.registration import Registration
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.utils.benchmark import Summarizer
+
+
+@dataclass
+class OdometryParams:
+    """Mirror of OdometryEstimationParams (benchmark_odom.hpp:19-27)."""
+
+    num_threads: int = 4  # parity only; XLA decides
+    num_neighbors: int = 20
+    downsampling_resolution: float = 0.25
+    voxel_resolution: float = 1.0
+    max_correspondence_distance: float = 1.0
+    # TPU-specific static capacities:
+    max_scan_points: int = 131072  # raw scan capacity
+    max_downsampled: int = 32768  # post-voxelgrid capacity
+    map_capacity: int = 131072  # voxels in the model map
+    dtype: str = "float32"
+
+
+class _OdometryBase:
+    """Shared frame feeding / timing (OnlineOdometryEstimation,
+    benchmark_odom.hpp:44-80)."""
+
+    def __init__(self, params: Optional[OdometryParams] = None):
+        self.params = params or OdometryParams()
+        self.reg_times = Summarizer()
+        self.traj: List[np.ndarray] = []
+
+    def _prep_frame(self, points_xyz: np.ndarray) -> PointCloud:
+        p = self.params
+        cloud = PointCloud.from_points(
+            np.asarray(points_xyz, dtype=p.dtype), capacity=p.max_scan_points
+        )
+        return cloud
+
+    def estimate(self, frames) -> np.ndarray:
+        """Run odometry over a list of [N,3] scans; returns [F,4,4] poses."""
+        for i, f in enumerate(frames):
+            t0 = time.perf_counter()
+            T = self.estimate_frame(f)
+            self.reg_times.push((time.perf_counter() - t0) * 1e3)
+            self.traj.append(np.asarray(T))
+        return np.stack(self.traj)
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        raise NotImplementedError
+
+    def report(self) -> str:
+        return f"registration_time_stats={self.reg_times} [msec/scan]"
+
+
+class ScanToScanOdometry(_OdometryBase):
+    """GICP scan-to-scan odometry
+    (odometry_benchmark_small_gicp_omp.cpp:16-43): identity initial guess
+    each frame, T_world accumulates relative poses."""
+
+    def __init__(self, params: Optional[OdometryParams] = None,
+                 registration_type: str = "gicp"):
+        super().__init__(params)
+        p = self.params
+        self.reg = Registration(
+            registration_type=registration_type,
+            max_correspondence_distance=p.max_correspondence_distance,
+        )
+        self._prev: Optional[PointCloud] = None
+        self.T_world = jnp.eye(4, dtype=p.dtype)
+
+    def _preprocess(self, cloud: PointCloud) -> PointCloud:
+        p = self.params
+        down = voxelgrid_sampling(
+            cloud, p.downsampling_resolution, max_points=p.max_downsampled
+        )
+        return estimate_covariances(down, num_neighbors=p.num_neighbors)
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        cur = self._preprocess(self._prep_frame(points_xyz))
+        if self._prev is None:
+            self._prev = cur
+            return self.T_world
+        result = self.reg.align(self._prev, cur, None, None)
+        self.T_world = self.T_world @ result.T_target_source
+        self._prev = cur
+        return self.T_world
+
+
+class ScanToModelOdometry(_OdometryBase):
+    """GICP scan-to-model odometry with an incremental voxel map
+    (odometry_benchmark_small_gicp_model_tbb.cpp:22-47): the voxelmap is
+    target AND search structure; registration solves the absolute pose,
+    then the frame is inserted into the map at that pose."""
+
+    def __init__(self, params: Optional[OdometryParams] = None):
+        super().__init__(params)
+        p = self.params
+        self.reg = Registration(
+            registration_type="gicp",
+            max_correspondence_distance=p.max_correspondence_distance,
+        )
+        self.voxelmap = IncrementalVoxelMap.empty(
+            p.voxel_resolution,
+            capacity=p.map_capacity,
+            dtype=p.dtype,
+            has_covs=True,
+            cell_capacity=10,
+            num_offsets=1,
+        )
+        self.T_world = jnp.eye(4, dtype=p.dtype)
+        self._first = True
+
+    def _preprocess(self, cloud: PointCloud) -> PointCloud:
+        p = self.params
+        down = voxelgrid_sampling(
+            cloud, p.downsampling_resolution, max_points=p.max_downsampled
+        )
+        return estimate_covariances(down, num_neighbors=p.num_neighbors)
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        cur = self._preprocess(self._prep_frame(points_xyz))
+        if self._first:
+            self.voxelmap = self.voxelmap.insert(cur, self.T_world)
+            self._first = False
+            return self.T_world
+        result = self.reg.align(self.voxelmap, cur, None, self.T_world)
+        self.T_world = result.T_target_source
+        self.voxelmap = self.voxelmap.insert(cur, self.T_world)
+        return self.T_world
+
+
+class VGICPModelOdometry(_OdometryBase):
+    """VGICP scan-to-model odometry with a Gaussian voxel map
+    (odometry_benchmark_small_vgicp_model_tbb.cpp:30-45)."""
+
+    def __init__(self, params: Optional[OdometryParams] = None):
+        super().__init__(params)
+        p = self.params
+        self.reg = Registration(registration_type="vgicp")
+        self.voxelmap = GaussianVoxelMap.empty(
+            p.voxel_resolution, capacity=p.map_capacity, dtype=p.dtype
+        )
+        self.T_world = jnp.eye(4, dtype=p.dtype)
+        self._first = True
+
+    def _preprocess(self, cloud: PointCloud) -> PointCloud:
+        p = self.params
+        down = voxelgrid_sampling(
+            cloud, p.downsampling_resolution, max_points=p.max_downsampled
+        )
+        return estimate_covariances(down, num_neighbors=p.num_neighbors)
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        cur = self._preprocess(self._prep_frame(points_xyz))
+        if self._first:
+            self.voxelmap = self.voxelmap.insert(cur, self.T_world)
+            self._first = False
+            return self.T_world
+        result = self.reg.align(self.voxelmap, cur, None, self.T_world)
+        self.T_world = result.T_target_source
+        self.voxelmap = self.voxelmap.insert(cur, self.T_world)
+        return self.T_world
+
+
+ENGINES = {
+    "small_gicp": ScanToScanOdometry,
+    "small_gicp_model": ScanToModelOdometry,
+    "small_vgicp_model": VGICPModelOdometry,
+}
+
+
+def create_odometry(engine: str, params: Optional[OdometryParams] = None):
+    """Engine registry (benchmark_odom.hpp:112-116)."""
+    if engine not in ENGINES:
+        raise ValueError(f"unknown engine {engine!r}; have {sorted(ENGINES)}")
+    return ENGINES[engine](params)
+
+
+def write_trajectory(path: str, poses: np.ndarray):
+    """KITTI-format trajectory (3x4 rows) — evo-compatible output
+    (odometry_benchmark.cpp:82-94)."""
+    with open(path, "w") as f:
+        for T in poses:
+            row = np.asarray(T)[:3, :].reshape(-1)
+            f.write(" ".join(f"{v:.9g}" for v in row) + "\n")

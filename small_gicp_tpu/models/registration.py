@@ -1,0 +1,398 @@
+"""Registration engine: correspondence search + GN/LM optimization.
+
+TPU re-design of the reference's Registration template
+(registration/registration.hpp:17-54) and optimizers
+(registration/optimizer.hpp:12-156). The C++ template plug points
+(PointFactor / Reduction / GeneralFactor / Rejector / Optimizer) become
+static configuration of one jitted `align` function; the whole optimizer
+— including per-iteration NN re-search and the LM lambda trials with
+frozen correspondences — runs as nested `lax.while_loop`s inside a
+single XLA program, so a full registration is one device launch.
+
+Iteration semantics are kept bit-compatible with the reference:
+  * outer loop ≤ max_iterations, stops on convergence (LM also stops when
+    all inner trials fail — optimizer.hpp:141-143)
+  * correspondences re-searched at every linearization against the
+    *currently transformed* source (gicp_factor.hpp:49-53), rejected when
+    sq_dist > max_dist_sq (rejector.hpp:19-28)
+  * LM inner loop evaluates candidate poses with FROZEN correspondences
+    and weight matrices (optimizer.hpp:113), accepts iff new_e <= e
+  * convergence: ‖δ_rot‖ ≤ rotation_eps AND ‖δ_trans‖ ≤ translation_eps
+    (termination_criteria.hpp:17)
+  * GN applies the update even on the converging iteration
+    (optimizer.hpp:52-53)
+  * result.iterations is the index of the last executed outer iteration
+    (optimizer.hpp:54,136), H/b are from the last linearization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.ops.knn import KdTree
+from small_gicp_tpu.ops.eigh3 import solve6x6
+from small_gicp_tpu.utils.lie import se3_exp
+from small_gicp_tpu.models import factors
+from small_gicp_tpu.models.factors import Correspondences, GICP, ICP, PLANE_ICP
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap
+
+
+@struct.dataclass
+class RegistrationResult:
+    """Pytree mirror of the reference RegistrationResult
+    (registration/registration_result.hpp:11-30)."""
+
+    T_target_source: jax.Array  # [4,4]
+    converged: jax.Array  # bool
+    iterations: jax.Array  # int32
+    num_inliers: jax.Array  # int32
+    H: jax.Array  # [6,6]
+    b: jax.Array  # [6]
+    error: jax.Array  # scalar
+
+
+def _search_correspondences(
+    factor_type: str,
+    target: Union[PointCloud, GaussianVoxelMap],
+    target_tree,
+    source_points: jax.Array,
+    source_num: jax.Array,
+    source_covs: Optional[jax.Array],
+    T: jax.Array,
+    max_dist_sq,
+) -> Correspondences:
+    """NN of transformed source points in the target + weight matrices."""
+    transed = source_points @ T.T  # [N,4]
+    n = source_points.shape[0]
+
+    if isinstance(target, GaussianVoxelMap):
+        sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
+        mu = target.means[idx][:, :3]
+        t_normals = None
+        t_covs = target.covs[idx]
+    elif isinstance(target, IncrementalVoxelMap):
+        sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
+        mu = target.points_flat()[idx][:, :3]
+        nf = target.normals_flat()
+        cf = target.covs_flat()
+        t_normals = None if nf is None else nf[idx]
+        t_covs = None if cf is None else cf[idx]
+    else:
+        tree = target_tree if target_tree is not None else KdTree.build(target)
+        sq_dists, idx = tree.nearest_neighbor_search(transed[:, :3])
+        found = jnp.ones_like(sq_dists, dtype=bool)
+        mu = target.points[idx][:, :3]
+        t_normals = target.normals[idx] if target.normals is not None else None
+        t_covs = target.covs[idx] if target.covs is not None else None
+
+    mask = (
+        found
+        & (sq_dists <= max_dist_sq)
+        & (jnp.arange(n) < source_num)
+    )
+    W = factors.make_weights(factor_type, T, n, source_covs, t_normals, t_covs)
+    # Zero out padding contributions defensively (mask already guards sums).
+    return Correspondences(
+        target_mu=mu, W=W, mask=mask, target_idx=idx.astype(jnp.int32)
+    )
+
+
+@struct.dataclass
+class _OptState:
+    T: jax.Array
+    lam: jax.Array
+    last_e: jax.Array
+    H: jax.Array
+    b: jax.Array
+    iterations: jax.Array
+    converged: jax.Array
+    failed: jax.Array
+    num_inliers: jax.Array
+    i: jax.Array
+
+
+def _converged(delta, rotation_eps, translation_eps):
+    rot = jnp.linalg.norm(delta[:3])
+    trans = jnp.linalg.norm(delta[3:])
+    return (rot <= rotation_eps) & (trans <= translation_eps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "registration_type",
+        "optimizer",
+        "robust_kernel",
+        "max_iterations",
+        "max_inner_iterations",
+    ),
+)
+def align_impl(
+    target: Union[PointCloud, GaussianVoxelMap],
+    source: PointCloud,
+    target_tree,
+    init_T: jax.Array,
+    registration_type: str = GICP,
+    optimizer: str = "lm",
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
+    max_iterations: int = 20,
+    max_inner_iterations: int = 10,
+    max_dist_sq: float = 1.0,
+    rotation_eps: float = 0.1 * jnp.pi / 180.0,
+    translation_eps: float = 1e-3,
+    init_lambda: float = 1e-3,
+    lambda_factor: float = 10.0,
+    gn_lambda: float = 1e-6,
+    dof_mask: Optional[jax.Array] = None,
+    dof_lambda: float = 1e9,
+) -> RegistrationResult:
+    """Jitted registration. See module docstring for semantics."""
+    dtype = source.points.dtype
+    init_T = jnp.asarray(init_T, dtype)
+    max_dist_sq = jnp.asarray(max_dist_sq, dtype)
+
+    source_covs = source.covs if registration_type == GICP else None
+
+    def search(T):
+        return _search_correspondences(
+            registration_type,
+            target,
+            target_tree,
+            source.points,
+            source.num_points,
+            source_covs,
+            T,
+            max_dist_sq,
+        )
+
+    def linearize(corr, T):
+        H, b, e = factors.linearize(
+            corr, T, source.points, robust_kernel, robust_c
+        )
+        if dof_mask is not None:
+            # RestrictDoFFactor: H += λ·diag(|mask−1|)
+            # (factors/general_factor.hpp:57-67).
+            H = H + jnp.asarray(dof_lambda, dtype) * jnp.diag(
+                jnp.abs(jnp.asarray(dof_mask, dtype) - 1.0)
+            )
+        return H, b, e
+
+    def err(corr, T):
+        return factors.error(corr, T, source.points, robust_kernel, robust_c)
+
+    zero6 = jnp.zeros((6,), dtype)
+    init_state = _OptState(
+        T=init_T,
+        lam=jnp.asarray(init_lambda, dtype),
+        last_e=jnp.asarray(0.0, dtype),
+        H=jnp.zeros((6, 6), dtype),
+        b=zero6,
+        iterations=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        failed=jnp.asarray(False),
+        num_inliers=jnp.asarray(0, jnp.int32),
+        i=jnp.asarray(0, jnp.int32),
+    )
+
+    rot_eps = jnp.asarray(rotation_eps, dtype)
+    trans_eps = jnp.asarray(translation_eps, dtype)
+
+    # Loop bodies are fully MASKED: when a state is inactive (converged /
+    # failed), the body is an identity map. This makes vmap(while_loop)
+    # exact — under vmap the loop runs while ANY lane is active and the
+    # body executes for all lanes, so inactive lanes must be no-ops. This
+    # is what lets the same code serve single-pair (data-dependent early
+    # exit) and batched/sharded registration (parallel/batch.py).
+
+    def _sel(active, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, old
+        )
+
+    if optimizer == "gn":
+
+        def body(s: _OptState) -> _OptState:
+            active = (~s.converged) & (s.i < max_iterations)
+            corr = search(s.T)
+            H, b, e = linearize(corr, s.T)
+            delta = solve6x6(H, -b, jnp.asarray(gn_lambda, dtype))
+            conv = _converged(delta, rot_eps, trans_eps)
+            # GN applies the update even on the converging iteration
+            # (optimizer.hpp:52-53).
+            T_new = s.T @ se3_exp(delta)
+            new = s.replace(
+                T=T_new,
+                H=H,
+                b=b,
+                last_e=e,
+                converged=conv,
+                iterations=s.i,
+                num_inliers=jnp.sum(corr.mask).astype(jnp.int32),
+                i=s.i + 1,
+            )
+            return _sel(active, new, s)
+
+        def cond(s: _OptState):
+            return (s.i < max_iterations) & (~s.converged)
+
+        final = jax.lax.while_loop(cond, body, init_state)
+
+    elif optimizer == "lm":
+
+        def body(s: _OptState) -> _OptState:
+            active = (~s.converged) & (~s.failed) & (s.i < max_iterations)
+            corr = search(s.T)
+            H, b, e0 = linearize(corr, s.T)
+
+            # Inner lambda trials (optimizer.hpp:107-134). All trials
+            # solve from the same linearization point s.T; `accepted`
+            # freezes a lane once its trial succeeds.
+            def inner_cond(c):
+                j, _, accepted, _, _, _ = c
+                return (j < max_inner_iterations) & (~accepted)
+
+            def inner_body(c):
+                j, lam, accepted, T_best, e_best, delta_best = c
+                delta = solve6x6(H, -b, lam)
+                T_new = s.T @ se3_exp(delta)
+                new_e = err(corr, T_new)
+                accept_now = (~accepted) & (new_e <= e0)
+                lam = jnp.where(
+                    accepted,
+                    lam,
+                    jnp.where(accept_now, lam / lambda_factor, lam * lambda_factor),
+                )
+                T_best = jnp.where(accept_now, T_new, T_best)
+                e_best = jnp.where(accept_now, new_e, e_best)
+                delta_best = jnp.where(accept_now, delta, delta_best)
+                return (j + 1, lam, accepted | accept_now, T_best, e_best, delta_best)
+
+            init_inner = (
+                jnp.asarray(0, jnp.int32),
+                s.lam,
+                jnp.asarray(False),
+                s.T,
+                e0,
+                zero6,
+            )
+            _, lam_f, accepted, T_f, e_f, delta_f = jax.lax.while_loop(
+                inner_cond, inner_body, init_inner
+            )
+            conv = accepted & _converged(delta_f, rot_eps, trans_eps)
+            new = s.replace(
+                T=T_f,
+                lam=lam_f,
+                H=H,
+                b=b,
+                last_e=e_f,
+                converged=conv,
+                failed=~accepted,
+                iterations=s.i,
+                num_inliers=jnp.sum(corr.mask).astype(jnp.int32),
+                i=s.i + 1,
+            )
+            return _sel(active, new, s)
+
+        def cond(s: _OptState):
+            return (s.i < max_iterations) & (~s.converged) & (~s.failed)
+
+        final = jax.lax.while_loop(cond, body, init_state)
+
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} (use 'gn' or 'lm')")
+
+    return RegistrationResult(
+        T_target_source=final.T,
+        converged=final.converged,
+        iterations=final.iterations,
+        num_inliers=final.num_inliers,
+        H=final.H,
+        b=final.b,
+        error=final.last_e,
+    )
+
+
+class Registration:
+    """Configured registration pipeline (reference Registration template,
+    registration/registration.hpp:17-54, with factor / optimizer /
+    rejector / robust kernel selected by config instead of C++ types)."""
+
+    def __init__(
+        self,
+        registration_type: str = GICP,
+        optimizer: str = "lm",
+        robust_kernel: Optional[str] = None,
+        robust_c: float = 1.0,
+        max_iterations: int = 20,
+        max_inner_iterations: int = 10,
+        max_correspondence_distance: float = 1.0,
+        rotation_eps: float = 0.1 * 3.141592653589793 / 180.0,
+        translation_eps: float = 1e-3,
+        dof_rotation_mask=None,
+        dof_translation_mask=None,
+    ):
+        if registration_type not in (ICP, PLANE_ICP, GICP, "vgicp"):
+            raise ValueError(f"unknown registration type {registration_type!r}")
+        self.registration_type = registration_type
+        self.optimizer = optimizer
+        self.robust_kernel = robust_kernel
+        self.robust_c = robust_c
+        self.max_iterations = max_iterations
+        self.max_inner_iterations = max_inner_iterations
+        self.max_correspondence_distance = max_correspondence_distance
+        self.rotation_eps = rotation_eps
+        self.translation_eps = translation_eps
+        if dof_rotation_mask is not None or dof_translation_mask is not None:
+            rm = [1.0, 1.0, 1.0] if dof_rotation_mask is None else list(dof_rotation_mask)
+            tm = [1.0, 1.0, 1.0] if dof_translation_mask is None else list(dof_translation_mask)
+            self.dof_mask = jnp.asarray(rm + tm)
+        else:
+            self.dof_mask = None
+
+    def align(
+        self,
+        target: Union[PointCloud, GaussianVoxelMap],
+        source: PointCloud,
+        target_tree=None,
+        init_T=None,
+    ) -> RegistrationResult:
+        dtype = source.points.dtype
+        if init_T is None:
+            init_T = jnp.eye(4, dtype=dtype)
+        factor = self.registration_type
+        if factor == "vgicp":
+            factor = GICP  # VGICP = GICP factor with a voxelmap target
+        return align_impl(
+            target,
+            source,
+            target_tree,
+            init_T,
+            registration_type=factor,
+            optimizer=self.optimizer,
+            robust_kernel=self.robust_kernel,
+            robust_c=self.robust_c,
+            max_iterations=self.max_iterations,
+            max_inner_iterations=self.max_inner_iterations,
+            max_dist_sq=self.max_correspondence_distance**2,
+            rotation_eps=self.rotation_eps,
+            translation_eps=self.translation_eps,
+            dof_mask=self.dof_mask,
+        )
+
+
+def align_points(
+    target: Union[PointCloud, GaussianVoxelMap],
+    source: PointCloud,
+    target_tree=None,
+    init_T=None,
+    **kwargs,
+) -> RegistrationResult:
+    """Functional one-shot align over preprocessed clouds."""
+    return Registration(**kwargs).align(target, source, target_tree, init_T)

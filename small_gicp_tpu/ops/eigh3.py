@@ -1,0 +1,113 @@
+"""Batched 3x3 symmetric eigendecomposition (cyclic Jacobi, branch-free).
+
+TPU-native replacement for the reference's per-point
+Eigen::SelfAdjointEigenSolver<Matrix3d>::computeDirect
+(util/normal_estimation.hpp:88-89). A fixed number of cyclic Jacobi
+sweeps is unconditionally robust (no degenerate-case branches, unlike
+closed-form solvers), converges quadratically (6 sweeps ≈ machine
+precision for 3x3), and vectorizes perfectly over the point axis: every
+step is a batched 3x3 matmul / elementwise op on the VPU.
+
+Returns eigenvalues ascending with matching eigenvector columns —
+identical ordering contract to Eigen's solver, which the normal/cov
+setters rely on (normal = col 0 = smallest).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_JACOBI_PAIRS = ((0, 1), (0, 2), (1, 2))
+
+
+def _jacobi_rotation(app, aqq, apq, eps):
+    """Classic Jacobi angle: returns (c, s) zeroing A[p,q]."""
+    # tau = (aqq - app) / (2 apq); t = sign(tau)/(|tau| + sqrt(1+tau^2))
+    small = jnp.abs(apq) <= eps
+    safe_apq = jnp.where(small, jnp.ones_like(apq), apq)
+    tau = (aqq - app) / (2.0 * safe_apq)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # sign(0) == 0 would give t == 0 spuriously; tau==0 means a 45° rotation.
+    t = jnp.where(tau == 0.0, jnp.ones_like(t), t)
+    t = jnp.where(small, jnp.zeros_like(t), t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    return c, s
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def eigh3x3(A: jax.Array, sweeps: int = 6) -> Tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of symmetric [..., 3, 3] matrices.
+
+    Returns (eigenvalues [..., 3] ascending, eigenvectors [..., 3, 3] with
+    eigenvectors in columns, orthonormal).
+    """
+    dtype = A.dtype
+    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
+    batch = A.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
+    V = eye
+    # Symmetrize defensively (accumulated covs can be slightly asymmetric).
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+    for _ in range(sweeps):
+        for p, q in _JACOBI_PAIRS:
+            c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q], eps)
+            # G = I with [[c, s], [-s, c]] in the (p, q) plane.
+            G = eye
+            G = G.at[..., p, p].set(c)
+            G = G.at[..., q, q].set(c)
+            G = G.at[..., p, q].set(s)
+            G = G.at[..., q, p].set(-s)
+            A = jnp.swapaxes(G, -1, -2) @ A @ G
+            V = V @ G
+
+    vals = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(vals, axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return vals, V
+
+
+def inv3x3(A: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse via adjugate (reference computes
+    RCR.block<3,3>().inverse() per point — gicp_factor.hpp:60)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    safe_det = jnp.where(jnp.abs(det) < 1e-30, jnp.ones_like(det), det)
+    inv_det = jnp.where(jnp.abs(det) < 1e-30, jnp.zeros_like(det), 1.0 / safe_det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def solve6x6(H: jax.Array, b: jax.Array, damping: jax.Array) -> jax.Array:
+    """Solve (H + damping·I) x = b for 6x6 symmetric H via Cholesky.
+
+    Matches the reference's LDLT solve (optimizer.hpp:46,109); Cholesky is
+    the XLA-friendly equivalent for the SPD damped system.
+    """
+    A = H + damping * jnp.eye(6, dtype=H.dtype)
+    L = jax.scipy.linalg.cho_factor(A, lower=True)
+    return jax.scipy.linalg.cho_solve(L, b)

@@ -1,0 +1,168 @@
+"""Fixed-capacity point cloud pytree.
+
+TPU-native replacement for the reference's trait-based SoA container
+(reference: include/small_gicp/points/point_cloud.hpp:15-94,
+points/traits.hpp:11-79). Instead of compile-time traits over arbitrary
+containers, every pipeline stage consumes one batched array schema:
+
+  points  [N, 4] homogeneous (x, y, z, 1);   padded rows = (SENTINEL,)*3 + (0,)
+  normals [N, 4] (nx, ny, nz, 0)
+  covs    [N, 3, 3] (the reference pads to 4x4 for SIMD; the 3x3 block is the
+                     only part ever read — see gicp_factor.hpp:59-60)
+  num_points: scalar int32 — valid entries are compacted to the front.
+
+Capacity N is static (shape), occupancy is dynamic (num_points). Padded
+points carry a huge coordinate sentinel so distance-based ops (KNN, voxel
+hashing) exclude them for free with no masking inside hot kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Coordinate assigned to padding rows. Distances to these points are ~1e18,
+# which always loses a nearest-neighbor race but stays comfortably inside
+# float32 range (3.4e38).
+PAD_SENTINEL = 1.0e9
+
+
+@struct.dataclass
+class PointCloud:
+    """Fixed-capacity point cloud (pytree).
+
+    Mirrors the reference's ``small_gicp::PointCloud``
+    (points/point_cloud.hpp:15-94) with static-capacity arrays.
+    """
+
+    points: jax.Array  # [N, 4]
+    num_points: jax.Array  # scalar int32
+    normals: Optional[jax.Array] = None  # [N, 4]
+    covs: Optional[jax.Array] = None  # [N, 3, 3]
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def dtype(self):
+        return self.points.dtype
+
+    def valid_mask(self) -> jax.Array:
+        """[N] bool — True for real points, False for padding."""
+        return jnp.arange(self.capacity) < self.num_points
+
+    def xyz(self) -> jax.Array:
+        """[N, 3] coordinates."""
+        return self.points[:, :3]
+
+    @property
+    def has_normals(self) -> bool:
+        return self.normals is not None
+
+    @property
+    def has_covs(self) -> bool:
+        return self.covs is not None
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def from_points(
+        points,
+        capacity: Optional[int] = None,
+        dtype=None,
+    ) -> "PointCloud":
+        """Build from an [M, 3] or [M, 4] array (numpy or jax).
+
+        Equivalent of the reference's numpy ctor
+        (src/python/pointcloud.cpp semantics: Nx3 or Nx4 accepted).
+        """
+        points = np.asarray(points) if not isinstance(points, jax.Array) else points
+        if points.ndim != 2 or points.shape[1] not in (3, 4):
+            raise ValueError(f"points must be [N,3] or [N,4], got {points.shape}")
+        m = points.shape[0]
+        n = capacity if capacity is not None else m
+        if n < m:
+            raise ValueError(f"capacity {n} < number of points {m}")
+        dt = dtype if dtype is not None else (
+            points.dtype if jnp.issubdtype(points.dtype, jnp.floating) else jnp.float32
+        )
+        xyz = jnp.asarray(points[:, :3], dtype=dt)
+        buf = jnp.full((n, 4), PAD_SENTINEL, dtype=dt)
+        buf = buf.at[:, 3].set(0.0)
+        buf = buf.at[:m, :3].set(xyz)
+        buf = buf.at[:m, 3].set(1.0)
+        return PointCloud(points=buf, num_points=jnp.asarray(m, dtype=jnp.int32))
+
+    def with_capacity(self, capacity: int) -> "PointCloud":
+        """Grow/shrink static capacity (keeps the first `capacity` rows)."""
+        n = self.capacity
+        if capacity == n:
+            return self
+
+        def pad_or_trim(a, fill):
+            if a is None:
+                return None
+            if capacity <= n:
+                return a[:capacity]
+            pad_shape = (capacity - n,) + a.shape[1:]
+            return jnp.concatenate([a, jnp.full(pad_shape, fill, a.dtype)], axis=0)
+
+        pts = pad_or_trim(self.points, PAD_SENTINEL)
+        if capacity > n:
+            pts = pts.at[n:, 3].set(0.0)
+        return PointCloud(
+            points=pts,
+            num_points=jnp.minimum(self.num_points, capacity).astype(jnp.int32),
+            normals=pad_or_trim(self.normals, 0.0),
+            covs=pad_or_trim(self.covs, 0.0),
+        )
+
+    def astype(self, dtype) -> "PointCloud":
+        return PointCloud(
+            points=self.points.astype(dtype),
+            num_points=self.num_points,
+            normals=None if self.normals is None else self.normals.astype(dtype),
+            covs=None if self.covs is None else self.covs.astype(dtype),
+        )
+
+    # ------------------------------------------------------------------
+    # Host-side views (for tests / interop)
+    # ------------------------------------------------------------------
+
+    def points_numpy(self) -> np.ndarray:
+        """[num_points, 4] valid points as numpy (host transfer)."""
+        n = int(self.num_points)
+        return np.asarray(self.points[:n])
+
+    def normals_numpy(self) -> np.ndarray:
+        n = int(self.num_points)
+        return np.asarray(self.normals[:n])
+
+    def covs_numpy(self) -> np.ndarray:
+        n = int(self.num_points)
+        return np.asarray(self.covs[:n])
+
+    def __len__(self) -> int:
+        return int(self.num_points)
+
+
+def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
+    """Apply a 4x4 rigid transform to [N,4] homogeneous points.
+
+    Padding rows have w=0, so the translation is not applied and the
+    sentinel coordinate survives (stays "far away").
+    """
+    return points @ T.T
+
+
+def transform_covs(T: jax.Array, covs: jax.Array) -> jax.Array:
+    """R C Rᵀ for [N,3,3] covariances (reference: gicp_factor.hpp:59)."""
+    R = T[:3, :3]
+    return jnp.einsum("ij,njk,lk->nil", R, covs, R)

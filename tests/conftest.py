@@ -1,0 +1,49 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (so sharding/collective paths are
+exercised without a TPU pod — the mesh-on-CPU strategy from SURVEY.md §4)
+and with x64 enabled so parity tests can match the reference's
+double-precision math.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# Single-core CI box: persistent compilation cache makes re-runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+DATA_DIR = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def bundled_pair():
+    """The reference's bundled real scan pair + ground truth
+    (data/{target,source}.ply, T_target_source.txt)."""
+    from small_gicp_tpu.utils.io import read_ply, read_pose_matrix
+
+    target = read_ply(os.path.join(DATA_DIR, "target.ply"))
+    source = read_ply(os.path.join(DATA_DIR, "source.ply"))
+    T_gt = read_pose_matrix(os.path.join(DATA_DIR, "T_target_source.txt"))
+    return target, source, T_gt
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,108 @@
+"""Normal/covariance estimation semantics (reference:
+util/normal_estimation.hpp + src/test/normal_estimation_test.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.ops.normals import (
+    estimate_covariances,
+    estimate_normals,
+    estimate_normals_covariances,
+)
+
+
+def _plane_cloud(rng, n=500, normal=(0.0, 0.0, 1.0), offset=5.0):
+    """Points on a plane at distance `offset` from origin along `normal`."""
+    normal = np.asarray(normal) / np.linalg.norm(normal)
+    # Tangent basis.
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(normal[0]) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    u = np.cross(normal, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    uv = rng.uniform(-2, 2, size=(n, 2))
+    return offset * normal + uv[:, :1] * u + uv[:, 1:] * v
+
+
+def test_plane_normals(rng):
+    plane_n = np.array([1.0, 2.0, 2.0]) / 3.0
+    pts = _plane_cloud(rng, normal=plane_n)
+    cloud = estimate_normals(PointCloud.from_points(pts), num_neighbors=20)
+    normals = cloud.normals_numpy()[:, :3]
+    dots = normals @ plane_n
+    assert np.all(np.abs(np.abs(dots) - 1.0) < 1e-6)
+    # Sign convention: normal·point <= 0 (flipped toward viewpoint origin,
+    # normal_estimation.hpp:20-24).
+    assert np.all(np.sum(normals * pts, axis=1) <= 1e-9)
+
+
+def test_plane_covariances(rng):
+    pts = _plane_cloud(rng)
+    cloud = estimate_covariances(PointCloud.from_points(pts), num_neighbors=20)
+    covs = cloud.covs_numpy()
+    vals = np.linalg.eigvalsh(covs)
+    # Regularized spectrum is exactly (1e-3, 1, 1) (normal_estimation.hpp:41).
+    assert np.allclose(vals[:, 0], 1e-3, atol=1e-9)
+    assert np.allclose(vals[:, 1:], 1.0, atol=1e-9)
+
+
+def test_insufficient_neighbors_invalid(rng):
+    # 3 points < 5 minimum → zero normal, identity cov
+    # (normal_estimation.hpp:71-75).
+    pts = rng.normal(size=(3, 3))
+    cloud = estimate_normals_covariances(
+        PointCloud.from_points(pts, capacity=16), num_neighbors=10
+    )
+    assert np.allclose(cloud.normals_numpy(), 0.0)
+    assert np.allclose(cloud.covs_numpy(), np.eye(3))
+
+
+def test_both_matches_individual(rng):
+    pts = rng.normal(size=(300, 3)) * 2.0
+    c0 = PointCloud.from_points(pts)
+    both = estimate_normals_covariances(c0, num_neighbors=15)
+    n_only = estimate_normals(c0, num_neighbors=15)
+    c_only = estimate_covariances(c0, num_neighbors=15)
+    assert np.allclose(np.asarray(both.normals), np.asarray(n_only.normals))
+    assert np.allclose(np.asarray(both.covs), np.asarray(c_only.covs))
+
+
+def test_padding_rows_invalid(rng):
+    pts = rng.normal(size=(100, 3))
+    cloud = estimate_normals_covariances(
+        PointCloud.from_points(pts, capacity=256), num_neighbors=10
+    )
+    normals = np.asarray(cloud.normals)
+    covs = np.asarray(cloud.covs)
+    assert np.allclose(normals[100:], 0.0)
+    assert np.allclose(covs[100:], np.eye(3))
+
+
+def test_cov_moment_formula(rng):
+    """Cross-check the unregularized neighborhood covariance against a
+    direct numpy computation on a small cloud (k = all points)."""
+    from small_gicp_tpu.ops.eigh3 import eigh3x3
+    from small_gicp_tpu.ops.knn import brute_force_knn
+
+    pts = rng.normal(size=(30, 3))
+    k = 30
+    # Mirror the implementation's masked-moment path.
+    d, idx = brute_force_knn(jnp.asarray(pts), jnp.asarray(pts), k)
+    neigh = pts[np.asarray(idx)]
+    mean = neigh.mean(axis=1)
+    cov_np = (
+        np.einsum("nkd,nke->nde", neigh, neigh) / k
+        - mean[:, :, None] * mean[:, None, :]
+    )
+    # Each neighborhood = the full cloud, so all covs equal the cloud cov.
+    cloud_cov = np.cov(pts.T, bias=True)
+    assert np.allclose(cov_np, cloud_cov, atol=1e-9)
+
+    # Regularized covs from the implementation must share eigenvectors.
+    cloud = estimate_covariances(PointCloud.from_points(pts), num_neighbors=k)
+    covs = cloud.covs_numpy()
+    _, vecs_ref = np.linalg.eigh(cloud_cov)
+    reg_ref = vecs_ref @ np.diag([1e-3, 1.0, 1.0]) @ vecs_ref.T
+    assert np.allclose(covs, reg_ref, atol=1e-7)

@@ -1,0 +1,147 @@
+"""End-to-end registration accuracy on the bundled real scan pair —
+ports the reference's registration_test.cpp strategy: perturbed initial
+guesses, forward + inverse alignment, all registration types, asserting
+rot error < 2.5° and trans error < 0.2 m vs ground truth
+(registration_test.cpp:139-151)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import small_gicp_tpu as sgt
+from small_gicp_tpu.utils.lie import rotation_error_deg
+
+ROT_TOL_DEG = 2.5
+TRANS_TOL = 0.2
+DOWNSAMPLE = 0.3  # registration_test.cpp:29
+NUM_NEIGHBORS = 10
+
+
+@pytest.fixture(scope="module")
+def preprocessed(bundled_pair):
+    target_raw, source_raw, T_gt = bundled_pair
+    target, target_tree = sgt.preprocess_points(
+        target_raw.astype(np.float64), DOWNSAMPLE, num_neighbors=NUM_NEIGHBORS,
+        max_points=16384,
+    )
+    source, source_tree = sgt.preprocess_points(
+        source_raw.astype(np.float64), DOWNSAMPLE, num_neighbors=NUM_NEIGHBORS,
+        max_points=16384,
+    )
+    return target, target_tree, source, source_tree, T_gt
+
+
+def _noise_poses(n=2, seed=1):
+    """Random perturbations: ±10° rotation, ±0.5 m translation
+    (registration_test.cpp:63-70)."""
+    rng = np.random.default_rng(seed)
+    poses = [np.eye(4)]
+    for _ in range(n):
+        t = rng.uniform(-1, 1, 3) * 0.5
+        axis = rng.uniform(-1, 1, 3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(-1, 1) * np.deg2rad(10.0)
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(sgt.so3_exp(jnp.asarray(axis * ang)))
+        T[:3, 3] = t
+        poses.append(T)
+    return poses
+
+
+def _check(T_est, T_gt, label=""):
+    T_est = np.asarray(T_est)
+    rot_err = float(rotation_error_deg(jnp.asarray(T_gt[:3, :3]), jnp.asarray(T_est[:3, :3])))
+    trans_err = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    assert rot_err < ROT_TOL_DEG, f"{label}: rot error {rot_err:.3f} deg"
+    assert trans_err < TRANS_TOL, f"{label}: trans error {trans_err:.3f} m"
+
+
+@pytest.mark.parametrize(
+    "rtype,kernel",
+    [
+        ("gicp", None),
+        ("plane_icp", None),
+        ("icp", None),
+        ("gicp", "huber"),
+        ("gicp", "cauchy"),
+    ],
+)
+def test_registration_types(preprocessed, rtype, kernel):
+    target, target_tree, source, source_tree, T_gt = preprocessed
+    reg = sgt.Registration(
+        registration_type=rtype,
+        robust_kernel=kernel,
+        max_correspondence_distance=1.0,
+    )
+    for i, T0 in enumerate(_noise_poses(1)):
+        result = reg.align(target, source, target_tree, jnp.asarray(T0))
+        _check(result.T_target_source, T_gt, f"{rtype}/{kernel} fwd seed{i}")
+        assert bool(result.converged)
+        assert int(result.num_inliers) > 0.5 * len(source)
+
+
+def test_gicp_perturbed_and_inverse(preprocessed):
+    target, target_tree, source, source_tree, T_gt = preprocessed
+    reg = sgt.Registration(registration_type="gicp")
+    for i, T0 in enumerate(_noise_poses(2, seed=7)):
+        result = reg.align(target, source, target_tree, jnp.asarray(T0))
+        _check(result.T_target_source, T_gt, f"gicp fwd seed{i}")
+        # Inverse direction: estimating T_source_target.
+        result_inv = reg.align(source, target, source_tree, jnp.asarray(T0))
+        _check(result_inv.T_target_source, np.linalg.inv(T_gt), f"gicp inv seed{i}")
+
+
+def test_vgicp(preprocessed):
+    target, _, source, _, T_gt = preprocessed
+    voxelmap = sgt.create_gaussian_voxelmap(target, 1.0)
+    assert int(voxelmap.num_voxels) > 100
+    reg = sgt.Registration(registration_type="vgicp")
+    for i, T0 in enumerate(_noise_poses(1)):
+        result = reg.align(voxelmap, source, None, jnp.asarray(T0))
+        _check(result.T_target_source, T_gt, f"vgicp seed{i}")
+
+
+def test_gauss_newton(preprocessed):
+    target, target_tree, source, _, T_gt = preprocessed
+    reg = sgt.Registration(registration_type="gicp", optimizer="gn")
+    result = reg.align(target, source, target_tree)
+    _check(result.T_target_source, T_gt, "gicp/gn")
+
+
+def test_result_fields(preprocessed):
+    target, target_tree, source, _, T_gt = preprocessed
+    result = sgt.Registration("gicp").align(target, source, target_tree)
+    H = np.asarray(result.H)
+    assert H.shape == (6, 6)
+    assert np.allclose(H, H.T, atol=1e-6)
+    assert np.all(np.linalg.eigvalsh(H) > 0)
+    assert float(result.error) > 0
+    assert 0 < int(result.iterations) < 20
+    T = np.asarray(result.T_target_source)
+    assert np.allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-9)
+
+
+def test_helper_align_raw_points(bundled_pair):
+    """One-shot align from raw numpy points (align.cpp surface)."""
+    target_raw, source_raw, T_gt = bundled_pair
+    result = sgt.align(
+        target_raw.astype(np.float64),
+        source_raw.astype(np.float64),
+        downsampling_resolution=DOWNSAMPLE,
+    )
+    _check(result.T_target_source, T_gt, "helper raw gicp")
+
+
+def test_restrict_dof(preprocessed):
+    """RestrictDoFFactor: freezing z-translation keeps it at the initial
+    value (general_factor.hpp:57-67)."""
+    target, target_tree, source, _, T_gt = preprocessed
+    reg = sgt.Registration(
+        registration_type="gicp",
+        dof_translation_mask=[1.0, 1.0, 0.0],
+    )
+    result = reg.align(target, source, target_tree)
+    T = np.asarray(result.T_target_source)
+    assert abs(T[2, 3]) < 5e-3  # stayed ~0 despite GT −0.025
+    # x/y translation still free and close to GT.
+    assert np.linalg.norm(T[:2, 3] - T_gt[:2, 3]) < TRANS_TOL
