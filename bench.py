@@ -24,6 +24,11 @@ DATA = "/root/reference/data"
 
 def main():
     import jax
+
+    # int64 voxel keys need x64 enabled (the TPU backend handles s64;
+    # all float arrays in this benchmark are explicitly float32, so no
+    # f64 compute lands on the chip).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import small_gicp_tpu as sgt

@@ -40,7 +40,7 @@ from small_gicp_tpu.ops.eigh3 import solve6x6
 from small_gicp_tpu.utils.lie import se3_exp
 from small_gicp_tpu.models import factors
 from small_gicp_tpu.models.factors import Correspondences, GICP, ICP, PLANE_ICP
-from small_gicp_tpu.models.voxelmap import GaussianVoxelMap
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
 
 
 @struct.dataclass

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The environment may pre-register a TPU backend and force
+# jax_platforms via sitecustomize (overriding the JAX_PLATFORMS env
+# var), so pin the platform through the config API, which wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Single-core CI box: persistent compilation cache makes re-runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")

@@ -26,9 +26,15 @@ def _check_vs_scipy(target, query, k, capacity=2048):
     if k == 1:
         rd, ri = rd[:, None], ri[:, None]
     assert np.allclose(np.sqrt(np.maximum(d, 0.0)), rd, atol=1e-6), "distances differ"
-    # Indices may differ at exact ties; distances must agree exactly.
-    tie_free = ~np.isclose(rd, np.roll(rd, 1, axis=1))
-    assert np.mean((i == ri)[tie_free]) > 0.999
+    # Indices may differ only at exact ties (duplicate points /
+    # equidistant neighbors): where they mismatch, both candidates must
+    # be equidistant from the query.
+    mism = i != ri
+    if mism.any():
+        qrep = np.repeat(query[:, None, :], k, axis=1)  # [Q,k,3]
+        d_ours = np.sum((target[i] - qrep) ** 2, axis=-1)
+        d_ref = np.sum((target[ri] - qrep) ** 2, axis=-1)
+        assert np.allclose(d_ours[mism], d_ref[mism], atol=1e-9), "index mismatch not a tie"
 
 
 # Synthetic distributions modeled on kdtree_synthetic_test.cpp:26-93.
