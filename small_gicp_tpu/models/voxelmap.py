@@ -438,7 +438,7 @@ class IncrementalVoxelMap:
         flat_container.hpp:52-57)."""
         dtype = self.points.dtype
         points = cloud.points.astype(dtype)
-        T = jnp.eye(4, dtype) if T is None else jnp.asarray(T, dtype)
+        T = jnp.eye(4, dtype=dtype) if T is None else jnp.asarray(T, dtype)
         normals = cloud.normals
         covs = cloud.covs
         if self.normals is not None:
@@ -495,15 +495,30 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
 
     # --- Fine-grid dedup at min-dist resolution (batched stand-in for the
     # sequential min_sq_dist_in_cell check, flat_container.hpp:43-50).
-    fine_leaf = jnp.sqrt(jnp.asarray(vm.min_sq_dist_in_cell, points.dtype))
-    fine_keys = pack_coords(voxel_coords(points[:, :3], 1.0 / fine_leaf))
-    fine_keys = jnp.where(keys != INVALID_KEY, fine_keys, INVALID_KEY)
-    forder = jnp.argsort(fine_keys, stable=True)
-    fsorted = fine_keys[forder]
-    fprev = jnp.concatenate([jnp.asarray([INVALID_KEY], fsorted.dtype), fsorted[:-1]])
-    f_first = (fsorted != fprev) & (fsorted != INVALID_KEY)
-    keep_mask = jnp.zeros((n,), bool).at[forder].set(f_first)
-    keys = jnp.where(keep_mask, keys, INVALID_KEY)
+    # Fine cells are identified by a mixed 64-bit hash of the unbounded
+    # integer fine coordinates (not the 21-bit packing, whose range the
+    # fine grid easily overflows); a hash collision at worst drops one
+    # extra point from the dedup — harmless for a dedup approximation.
+    if vm.min_sq_dist_in_cell > 0.0:
+        fine_leaf = jnp.sqrt(jnp.asarray(vm.min_sq_dist_in_cell, points.dtype))
+        fc = jnp.floor(points[:, :3] / fine_leaf).astype(jnp.int64)
+        h = (
+            fc[:, 0] * jnp.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15
+            + fc[:, 1] * jnp.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
+            + fc[:, 2] * jnp.int64(1609587929392839161)   # 0x165667B19E3779F9
+        )
+        h = h ^ (h >> 29)
+        h = h * jnp.int64(-4658895280553007687)  # 0xBF58476D1CE4E5B9
+        h = h ^ (h >> 32)
+        fine_keys = jnp.where(keys != INVALID_KEY, h, INVALID_KEY)
+        forder = jnp.argsort(fine_keys, stable=True)
+        fsorted = fine_keys[forder]
+        fprev = jnp.concatenate(
+            [jnp.asarray([INVALID_KEY], fsorted.dtype), fsorted[:-1]]
+        )
+        f_first = (fsorted != fprev) & (fsorted != INVALID_KEY)
+        keep_mask = jnp.zeros((n,), bool).at[forder].set(f_first)
+        keys = jnp.where(keep_mask, keys, INVALID_KEY)
 
     # --- Sort incoming by coarse key; compute per-voxel unique keys and
     # within-voxel arrival ranks.
