@@ -82,6 +82,7 @@ def align(
     rotation_eps: float = 0.1 * _M_PI / 180.0,
     translation_eps: float = 1e-3,
     verbose: bool = False,
+    max_points: Optional[int] = None,
 ) -> RegistrationResult:
     """One-shot align, covering all three reference overloads
     (registration_helper.cpp:57-137; Python surface align.cpp:95-106):
@@ -117,10 +118,12 @@ def align(
         # Raw-points path (registration_helper.cpp:57-69): preprocess both
         # with k=10 neighbors, then dispatch.
         target_cloud, target_tree = preprocess_points(
-            target, downsampling_resolution, num_neighbors=10, num_threads=num_threads
+            target, downsampling_resolution, num_neighbors=10,
+            num_threads=num_threads, max_points=max_points,
         )
         source_cloud, _ = preprocess_points(
-            source, downsampling_resolution, num_neighbors=10, num_threads=num_threads
+            source, downsampling_resolution, num_neighbors=10,
+            num_threads=num_threads, max_points=max_points,
         )
         if registration_type == "vgicp":
             voxelmap = create_gaussian_voxelmap(target_cloud, voxel_resolution)
