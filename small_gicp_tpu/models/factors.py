@@ -167,3 +167,27 @@ def error(
     e_i = 0.5 * jnp.sum(r * Wr, axis=-1)
     w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
     return jnp.sum(e_i * w)
+
+
+def error_multi(
+    corr: Correspondences,
+    Ts: jax.Array,
+    source_points: jax.Array,
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
+) -> jax.Array:
+    """Total error at K candidate poses at once: [K,4,4] -> [K].
+
+    Used to evaluate ALL of the LM inner loop's lambda trials in one
+    batched pass (the trial-j lambda is deterministic, lambda0*factor^j,
+    so the reference's sequential solve/evaluate trials —
+    optimizer.hpp:107-134 — collapse into one kernel with identical
+    accept/reject semantics). Keeps the optimizer latency-bound chains of
+    tiny ops off the TPU's critical path.
+    """
+    transed = jnp.einsum("kab,nb->kna", Ts, source_points)  # [K,N,4]
+    r = corr.target_mu[None, :, :] - transed[..., :3]  # [K,N,3]
+    Wr = jnp.einsum("nij,knj->kni", corr.W, r)
+    e_i = 0.5 * jnp.sum(r * Wr, axis=-1)  # [K,N]
+    w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
+    return jnp.sum(e_i * w, axis=-1)

@@ -184,8 +184,10 @@ def align_impl(
             )
         return H, b, e
 
-    def err(corr, T):
-        return factors.error(corr, T, source.points, robust_kernel, robust_c)
+    def err_multi(corr, Ts):
+        return factors.error_multi(
+            corr, Ts, source.points, robust_kernel, robust_c
+        )
 
     zero6 = jnp.zeros((6,), dtype)
     init_state = _OptState(
@@ -251,39 +253,32 @@ def align_impl(
             corr = search(s.T)
             H, b, e0 = linearize(corr, s.T)
 
-            # Inner lambda trials (optimizer.hpp:107-134). All trials
-            # solve from the same linearization point s.T; `accepted`
-            # freezes a lane once its trial succeeds.
-            def inner_cond(c):
-                j, _, accepted, _, _, _ = c
-                return (j < max_inner_iterations) & (~accepted)
-
-            def inner_body(c):
-                j, lam, accepted, T_best, e_best, delta_best = c
-                delta = solve6x6(H, -b, lam)
-                T_new = s.T @ se3_exp(delta)
-                new_e = err(corr, T_new)
-                accept_now = (~accepted) & (new_e <= e0)
-                lam = jnp.where(
-                    accepted,
-                    lam,
-                    jnp.where(accept_now, lam / lambda_factor, lam * lambda_factor),
-                )
-                T_best = jnp.where(accept_now, T_new, T_best)
-                e_best = jnp.where(accept_now, new_e, e_best)
-                delta_best = jnp.where(accept_now, delta, delta_best)
-                return (j + 1, lam, accepted | accept_now, T_best, e_best, delta_best)
-
-            init_inner = (
-                jnp.asarray(0, jnp.int32),
-                s.lam,
-                jnp.asarray(False),
-                s.T,
-                e0,
-                zero6,
+            # Inner lambda trials (optimizer.hpp:107-134), BATCHED: the
+            # reference tries lambdas sequentially, but trial j's lambda
+            # is deterministic (lam * factor^j), so all max_inner trials
+            # are solved and error-evaluated in one batched pass and the
+            # first non-increasing trial is selected — identical
+            # accept/reject semantics, ~10x fewer sequential kernels on
+            # the optimizer's critical path.
+            K = max_inner_iterations
+            lambdas = s.lam * jnp.asarray(lambda_factor, dtype) ** jnp.arange(
+                K, dtype=dtype
             )
-            _, lam_f, accepted, T_f, e_f, delta_f = jax.lax.while_loop(
-                inner_cond, inner_body, init_inner
+            deltas = jax.vmap(lambda l: solve6x6(H, -b, l))(lambdas)  # [K,6]
+            Ts = jnp.einsum("ab,kbc->kac", s.T, jax.vmap(se3_exp)(deltas))
+            errs = err_multi(corr, Ts)  # [K]
+            ok = errs <= e0
+            accepted = jnp.any(ok)
+            j = jnp.argmax(ok)  # first accepted trial
+            T_f = jnp.where(accepted, Ts[j], s.T)
+            e_f = jnp.where(accepted, errs[j], e0)
+            delta_f = jnp.where(accepted, deltas[j], zero6)
+            # Accept at trial j: lam = (lam*f^j)/f; all-reject: lam*f^K
+            # (reference multiplies by factor on every rejected trial).
+            lam_f = jnp.where(
+                accepted,
+                lambdas[j] / lambda_factor,
+                s.lam * jnp.asarray(lambda_factor, dtype) ** K,
             )
             conv = accepted & _converged(delta_f, rot_eps, trans_eps)
             new = s.replace(
