@@ -54,29 +54,35 @@ def main():
         tw = np.r_[rng.normal(size=3) * 0.03, rng.normal(size=3) * 0.2]
         return se3_exp(jnp.asarray(tw, dtype))
 
-    def run(T0):
-        return align_impl(
-            target, source, target_tree, T0, registration_type="gicp"
-        ).T_target_source
-
-    # Warmup / compile. NOTE: on the tunneled TPU platform
-    # block_until_ready() can return before remote execution finishes, so
-    # the sync points force a device->host materialization
-    # (jax.device_get) — the only reliable barrier. Each registration's
-    # result feeds an accumulator so all N executions are ordered on
-    # device; one final device_get measures sustained device throughput
-    # without paying the host<->tunnel round-trip per call.
-    jax.device_get(run(noise()))
-
+    # All registrations run inside ONE jitted lax.scan program so the
+    # measurement is pure device throughput: the tunneled TPU platform
+    # adds milliseconds of host round-trip per dispatch/device_get
+    # (and block_until_ready can return before remote execution
+    # finishes), which would otherwise swamp the per-registration time.
     n_iters = 20
-    poses = [noise() for _ in range(n_iters)]
-    acc = jnp.zeros((4, 4), dtype)
-    t0 = time.perf_counter()
-    for T0 in poses:
-        acc = acc + run(T0)
-    jax.device_get(acc)
-    dt = time.perf_counter() - t0
-    reg_per_sec = n_iters / dt
+
+    @jax.jit
+    def run_many(init_Ts):
+        def step(acc, T0):
+            r = align_impl(
+                target, source, target_tree, T0, registration_type="gicp"
+            )
+            return acc + r.T_target_source, r.iterations
+
+        acc, iters = jax.lax.scan(
+            step, jnp.zeros((4, 4), dtype), init_Ts
+        )
+        return acc, iters
+
+    poses = jnp.stack([noise() for _ in range(n_iters)])
+    jax.device_get(run_many(poses))  # warmup / compile
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run_many(poses)[0])
+        best = min(best, time.perf_counter() - t0)
+    reg_per_sec = n_iters / best
 
     print(
         json.dumps(

@@ -35,6 +35,18 @@ from small_gicp_tpu.point_cloud import PointCloud
 DEFAULT_QUERY_BLOCK = 2048
 
 
+def _use_pallas() -> bool:
+    """Route k=1 searches to the Pallas kernel on TPU backends.
+
+    Evaluated at trace time; CPU-simulated test meshes keep the portable
+    XLA path (Pallas TPU kernels don't lower for the CPU backend).
+    """
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _pad_queries(q: jax.Array, block: int) -> Tuple[jax.Array, int]:
     n = q.shape[0]
     padded = (n + block - 1) // block * block
@@ -133,9 +145,34 @@ class KdTree:
         return d, i
 
     def nearest_neighbor_search(self, query_xyz, block: int = DEFAULT_QUERY_BLOCK):
-        """k=1 special case (argmin reduction instead of top-k)."""
-        d, i = self.knn_search(query_xyz, 1, block)
-        return d[..., 0], i[..., 0]
+        """k=1 special case (argmin reduction instead of top-k).
+
+        On a TPU backend with f32 data this routes to the fused Pallas
+        distance+argmin kernel (ops/knn_pallas.py), which keeps the
+        [Q, M] distance matrix in VMEM instead of round-tripping it
+        through HBM; results are identical to the XLA path.
+        """
+        query_xyz = jnp.asarray(query_xyz)
+        single = query_xyz.ndim == 1
+        if single:
+            query_xyz = query_xyz[None, :]
+        if _use_pallas() and self.points.dtype == jnp.float32:
+            from small_gicp_tpu.ops.knn_pallas import nearest_neighbor_pallas
+
+            q4 = jnp.concatenate(
+                [
+                    query_xyz[:, :3].astype(jnp.float32),
+                    jnp.ones((query_xyz.shape[0], 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            d, i = nearest_neighbor_pallas(self.points, q4)
+        else:
+            d, i = self.knn_search(query_xyz, 1, block)
+            d, i = d[..., 0], i[..., 0]
+        if single:
+            return d[0], i[0]
+        return d, i
 
 
 def knn_search(target: PointCloud, query_xyz, k: int):

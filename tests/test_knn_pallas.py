@@ -1,0 +1,68 @@
+"""Pallas fused 1-NN kernel vs the XLA brute-force oracle.
+
+Runs in Pallas interpreter mode on the CPU test backend (the compiled
+kernel needs a real TPU); the kernel logic — tiling, running argmin,
+tie-breaking — is identical either way.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from small_gicp_tpu.ops.knn import brute_force_knn_numpy
+from small_gicp_tpu.ops.knn_pallas import nearest_neighbor_pallas
+from small_gicp_tpu.point_cloud import PAD_SENTINEL
+
+
+def _pad4(xyz, capacity):
+    n = xyz.shape[0]
+    out = np.full((capacity, 4), PAD_SENTINEL, np.float32)
+    out[:, 3] = 0.0
+    out[:n, :3] = xyz
+    out[:n, 3] = 1.0
+    return out
+
+
+@pytest.mark.parametrize("n,q", [(1000, 700), (513, 513), (64, 2000)])
+def test_pallas_nn_matches_bruteforce(rng, n, q):
+    tgt = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    qry = rng.uniform(-50, 50, (q, 3)).astype(np.float32)
+    t4 = _pad4(tgt, ((n + 255) // 256) * 256)
+    q4 = _pad4(qry, q)
+
+    d, i = nearest_neighbor_pallas(
+        jnp.asarray(t4), jnp.asarray(q4), block_q=256, block_m=512,
+        interpret=True,
+    )
+    d_ref, i_ref = brute_force_knn_numpy(tgt.astype(np.float64), qry.astype(np.float64), 1)
+
+    np.testing.assert_array_equal(np.asarray(i), i_ref[:, 0])
+    np.testing.assert_allclose(np.asarray(d), d_ref[:, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_nn_duplicate_points_tiebreak(rng):
+    """Duplicated targets: first index wins, as with jnp.argmin."""
+    base = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    tgt = np.concatenate([base, base], axis=0)  # duplicates at i and i+100
+    qry = base + rng.normal(scale=1e-4, size=base.shape).astype(np.float32)
+    t4 = _pad4(tgt, 256)
+    q4 = _pad4(qry, 128)
+    d, i = nearest_neighbor_pallas(
+        jnp.asarray(t4), jnp.asarray(q4), block_q=128, block_m=256,
+        interpret=True,
+    )
+    i = np.asarray(i)[:100]
+    assert np.all(i < 100), "later duplicate must not win a distance tie"
+    np.testing.assert_array_equal(i, np.arange(100))
+
+
+def test_pallas_nn_far_from_origin(rng):
+    """Centering guard: clouds far from the origin keep exact argmin."""
+    tgt = rng.uniform(995, 1005, (512, 3)).astype(np.float32)
+    qry = tgt[:256] + rng.normal(scale=0.01, size=(256, 3)).astype(np.float32)
+    d, i = nearest_neighbor_pallas(
+        jnp.asarray(_pad4(tgt, 512)), jnp.asarray(_pad4(qry, 256)),
+        block_q=128, block_m=256, interpret=True,
+    )
+    d_ref, i_ref = brute_force_knn_numpy(tgt.astype(np.float64), qry.astype(np.float64), 1)
+    np.testing.assert_array_equal(np.asarray(i), i_ref[:, 0])
