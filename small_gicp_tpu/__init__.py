@@ -29,6 +29,7 @@ from small_gicp_tpu.models.registration import (
     align_points,
 )
 from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.ops.projective_search import ProjectiveSearch
 from small_gicp_tpu.models.helper import (
     RegistrationSetting,
     preprocess_points,
@@ -59,6 +60,7 @@ __all__ = [
     "align_points",
     "GaussianVoxelMap",
     "IncrementalVoxelMap",
+    "ProjectiveSearch",
     "RegistrationSetting",
     "preprocess_points",
     "create_gaussian_voxelmap",

@@ -1,0 +1,104 @@
+"""LiDAR odometry benchmark CLI — clone of the reference's
+odometry_benchmark (src/benchmark/odometry_benchmark.cpp:6-94): loads a
+directory of KITTI .bin (or .ply) scans, runs the selected odometry
+engine, writes an evo-compatible KITTI trajectory file, and prints the
+same key=value / registration_time_stats lines.
+
+Usage:
+    python -m small_gicp_tpu.apps.odometry_benchmark <dataset_path> <output_path> \
+        [--engine small_gicp|small_vgicp|small_gicp_model|small_vgicp_model|small_gicp_flow] \
+        [--num_threads N] [--num_neighbors K] \
+        [--downsampling_resolution R] [--voxel_resolution V] \
+        [--max_scans N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from small_gicp_tpu.models.odometry import ENGINES
+
+    p = argparse.ArgumentParser(
+        prog="odometry_benchmark",
+        description="TPU-native LiDAR odometry benchmark",
+    )
+    p.add_argument("dataset_path", help="directory of *.bin (KITTI) or *.ply scans")
+    p.add_argument("output_path", help="output trajectory file (KITTI 3x4-row format)")
+    p.add_argument("--visualize", action="store_true", help="accepted for parity; no-op")
+    p.add_argument("--num_threads", type=int, default=4,
+                   help="parity only; XLA decides parallelism (default: 4)")
+    p.add_argument("--num_neighbors", type=int, default=20,
+                   help="covariance-estimation neighbors (default: 20)")
+    p.add_argument("--downsampling_resolution", type=float, default=0.25)
+    p.add_argument("--voxel_resolution", type=float, default=2.0)
+    p.add_argument("--engine", default="small_gicp", choices=sorted(ENGINES))
+    p.add_argument("--max_scans", type=int, default=None,
+                   help="only process the first N scans")
+    p.add_argument("--max_scan_points", type=int, default=131072)
+    p.add_argument("--max_downsampled", type=int, default=32768)
+    return p
+
+
+def load_scans(dataset_path: str, limit=None):
+    from small_gicp_tpu.utils.io import list_kitti_scans, read_kitti_bin, read_ply
+
+    bins = list_kitti_scans(dataset_path)
+    if bins:
+        paths, reader = bins, read_kitti_bin
+    else:
+        plys = sorted(
+            os.path.join(dataset_path, n)
+            for n in os.listdir(dataset_path)
+            if n.endswith(".ply")
+        )
+        if not plys:
+            raise SystemExit(f"no *.bin or *.ply scans in {dataset_path}")
+        paths, reader = plys, read_ply
+    if limit is not None:
+        paths = paths[:limit]
+    for p in paths:
+        yield reader(p)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from small_gicp_tpu.models.odometry import (
+        OdometryParams,
+        create_odometry,
+        write_trajectory,
+    )
+
+    print(f"dataset_path={args.dataset_path}")
+    print(f"output_path={args.output_path}")
+    print(f"registration_engine={args.engine}")
+    print(f"num_threads={args.num_threads}")
+    print(f"num_neighbors={args.num_neighbors}")
+    print(f"downsampling_resolution={args.downsampling_resolution}")
+    print(f"voxel_resolution={args.voxel_resolution}")
+
+    params = OdometryParams(
+        num_threads=args.num_threads,
+        num_neighbors=args.num_neighbors,
+        downsampling_resolution=args.downsampling_resolution,
+        voxel_resolution=args.voxel_resolution,
+        max_scan_points=args.max_scan_points,
+        max_downsampled=args.max_downsampled,
+    )
+    odom = create_odometry(args.engine, params)
+
+    poses = odom.estimate(list(load_scans(args.dataset_path, args.max_scans)))
+    print(f"num_frames={len(poses)}")
+    print(odom.report())
+
+    write_trajectory(args.output_path, poses)
+    print(f"saved={args.output_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

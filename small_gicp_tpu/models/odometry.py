@@ -193,10 +193,68 @@ class VGICPModelOdometry(_OdometryBase):
         return self.T_world
 
 
+class VGICPScanToScanOdometry(_OdometryBase):
+    """VGICP scan-to-scan odometry: the previous frame becomes a
+    GaussianVoxelMap target each step
+    (odometry_benchmark_small_vgicp_{omp,tbb}.cpp)."""
+
+    def __init__(self, params: Optional[OdometryParams] = None):
+        super().__init__(params)
+        p = self.params
+        self.reg = Registration(registration_type="vgicp")
+        self._prev_map: Optional[GaussianVoxelMap] = None
+        self.T_world = jnp.eye(4, dtype=p.dtype)
+
+    def _preprocess(self, cloud: PointCloud) -> PointCloud:
+        p = self.params
+        down = voxelgrid_sampling(
+            cloud, p.downsampling_resolution, max_points=p.max_downsampled
+        )
+        return estimate_covariances(down, num_neighbors=p.num_neighbors)
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        p = self.params
+        cur = self._preprocess(self._prep_frame(points_xyz))
+        cur_map = GaussianVoxelMap.build(
+            cur, p.voxel_resolution, capacity=p.max_downsampled
+        )
+        if self._prev_map is None:
+            self._prev_map = cur_map
+            return self.T_world
+        result = self.reg.align(self._prev_map, cur, None, None)
+        self.T_world = self.T_world @ result.T_target_source
+        self._prev_map = cur_map
+        return self.T_world
+
+
+class FlowScanToScanOdometry(ScanToScanOdometry):
+    """Pipelined scan-to-scan odometry — the TPU analog of the
+    reference's TBB flow-graph engine
+    (odometry_benchmark_small_gicp_tbb_flow.cpp:56-141): per-frame poses
+    are left on device and never synchronized inside the loop, so host
+    preprocessing/feeding of frame i+1 overlaps device registration of
+    frame i (XLA's async dispatch is the dataflow graph). Trajectory is
+    materialized once at the end."""
+
+    def estimate(self, frames) -> np.ndarray:
+        device_traj = []
+        t_start = time.perf_counter()
+        for f in frames:
+            device_traj.append(self.estimate_frame(f))
+        poses = np.stack([np.asarray(T) for T in device_traj])
+        total = (time.perf_counter() - t_start) * 1e3
+        for _ in frames:
+            self.reg_times.push(total / max(len(frames), 1))
+        self.traj = [p for p in poses]
+        return poses
+
+
 ENGINES = {
     "small_gicp": ScanToScanOdometry,
+    "small_vgicp": VGICPScanToScanOdometry,
     "small_gicp_model": ScanToModelOdometry,
     "small_vgicp_model": VGICPModelOdometry,
+    "small_gicp_flow": FlowScanToScanOdometry,
 }
 
 
