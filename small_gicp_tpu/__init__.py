@@ -28,6 +28,11 @@ from small_gicp_tpu.models.registration import (
     Registration,
     align_points,
 )
+from small_gicp_tpu.models.factors import (
+    ICPFactor,
+    PointToPlaneICPFactor,
+    GICPFactor,
+)
 from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
 from small_gicp_tpu.ops.projective_search import ProjectiveSearch
 from small_gicp_tpu.models.helper import (
@@ -56,6 +61,9 @@ __all__ = [
     "estimate_covariances",
     "estimate_normals_covariances",
     "RegistrationResult",
+    "ICPFactor",
+    "PointToPlaneICPFactor",
+    "GICPFactor",
     "Registration",
     "align_points",
     "GaussianVoxelMap",

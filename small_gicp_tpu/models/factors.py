@@ -169,6 +169,83 @@ def error(
     return jnp.sum(e_i * w)
 
 
+def linearize_per_point(
+    corr: Correspondences,
+    T: jax.Array,
+    source_points: jax.Array,
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-point (H_i [N,6,6], b_i [N,6], e_i [N]) — masked rows are zero.
+
+    This is the per-factor view the reference exposes through its Python
+    bindings (src/python/factors.cpp:44-224: ICPFactor/GICPFactor etc.
+    with a per-point linearize); summing over i reproduces linearize().
+    """
+    transed = source_points @ T.T
+    r = corr.target_mu - transed[:, :3]
+    J = geometric_jacobian(T, source_points[:, :3])
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r)
+    e_i = 0.5 * jnp.sum(r * Wr, axis=-1)
+    w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
+    WJ = jnp.einsum("nij,njk->nik", corr.W, J)
+    H_i = jnp.einsum("nij,nik->njk", J, WJ) * w[:, None, None]
+    b_i = jnp.einsum("nij,ni->nj", J, Wr) * w[:, None]
+    return H_i, b_i, e_i * w
+
+
+class _FactorBase:
+    """Per-point factor objects mirroring the reference's Python factor
+    classes (src/python/factors.cpp). linearize() searches the
+    correspondence of every source point at pose T and returns the
+    per-point linearized system + inlier mask."""
+
+    factor_type: str = ICP
+    robust_kernel: Optional[str] = None
+    robust_c: float = 1.0
+
+    def __init__(self, robust_kernel: Optional[str] = None, robust_c: float = 1.0):
+        self.robust_kernel = robust_kernel
+        self.robust_c = robust_c
+
+    def linearize(self, target, source, target_tree, T, max_dist_sq=1.0):
+        from small_gicp_tpu.models.registration import _search_correspondences
+
+        T = jnp.asarray(T, source.points.dtype)
+        corr = _search_correspondences(
+            self.factor_type,
+            target,
+            target_tree,
+            source.points,
+            source.num_points,
+            source.covs if self.factor_type == GICP else None,
+            T,
+            jnp.asarray(max_dist_sq, source.points.dtype),
+        )
+        H_i, b_i, e_i = linearize_per_point(
+            corr, T, source.points, self.robust_kernel, self.robust_c
+        )
+        return H_i, b_i, e_i, corr.mask
+
+
+class ICPFactor(_FactorBase):
+    """Point-to-point (factors/icp_factor.hpp:14-70)."""
+
+    factor_type = ICP
+
+
+class PointToPlaneICPFactor(_FactorBase):
+    """Point-to-plane (factors/plane_icp_factor.hpp:14-75)."""
+
+    factor_type = PLANE_ICP
+
+
+class GICPFactor(_FactorBase):
+    """Distribution-to-distribution (factors/gicp_factor.hpp:14-97)."""
+
+    factor_type = GICP
+
+
 def error_multi(
     corr: Correspondences,
     Ts: jax.Array,

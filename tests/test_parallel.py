@@ -1,0 +1,106 @@
+"""Multi-chip scaling paths on the 8-device CPU-simulated mesh
+(SURVEY.md §4: mesh-on-CPU strategy — conftest forces
+xla_force_host_platform_device_count=8).
+
+Covers:
+  * batch (data) parallel: [B] scan pairs sharded over the mesh
+  * point (sequence) parallel: ONE registration with the source point
+    axis sharded, (H,b,e) reduced via GSPMD-inserted psum
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.parallel.sharding import (
+    align_batch,
+    align_point_sharded,
+    make_mesh,
+    stack_clouds,
+)
+from small_gicp_tpu.models.registration import align_impl
+from small_gicp_tpu.utils.lie import se3_exp
+
+
+def _pair(rng, n=1024, twist_scale=0.05):
+    pts = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    pts[:, 2] = np.sin(pts[:, 0] * 0.5) + 0.3 * np.cos(pts[:, 1] * 0.7)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 0.01, (n, 3, 3))
+    target = PointCloud.from_points(pts).replace(covs=covs)
+    tw = jnp.asarray(
+        np.r_[rng.normal(size=3) * 0.02, rng.normal(size=3) * twist_scale],
+        jnp.float32,
+    )
+    T = se3_exp(tw)
+    src = (np.c_[pts, np.ones(n)] @ np.asarray(T).T)[:, :3]
+    source = PointCloud.from_points(src.astype(np.float32)).replace(covs=covs)
+    return target, source, np.asarray(T)
+
+
+def test_align_batch_sharded_matches_single(rng):
+    b = 8
+    pairs = [_pair(rng) for _ in range(b)]
+    targets = stack_clouds([p[0] for p in pairs])
+    sources = stack_clouds([p[1] for p in pairs])
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+
+    mesh = make_mesh(8)
+    res = align_batch(targets, sources, init_Ts, mesh=mesh, registration_type="gicp")
+    assert res.T_target_source.shape == (b, 4, 4)
+
+    for i in range(b):
+        # Batched+sharded result must match the unsharded single align.
+        single = align_impl(
+            pairs[i][0], pairs[i][1], None, jnp.eye(4, dtype=jnp.float32),
+            registration_type="gicp",
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.T_target_source[i]),
+            np.asarray(single.T_target_source),
+            atol=1e-5,
+        )
+        # And recover the true pose (T maps target->source here, so the
+        # estimate approximates T^-1... verify via registration residual).
+        est = np.asarray(res.T_target_source[i])
+        gt_inv = np.linalg.inv(pairs[i][2])
+        assert np.linalg.norm(est[:3, 3] - gt_inv[:3, 3]) < 0.05
+
+
+def test_align_point_sharded_matches_replicated(rng):
+    target, source, T_gt = _pair(rng, n=2048)
+    mesh = make_mesh(8)
+    res = align_point_sharded(
+        target, source, jnp.eye(4, dtype=jnp.float32), mesh,
+        registration_type="gicp",
+    )
+    single = align_impl(
+        target, source, None, jnp.eye(4, dtype=jnp.float32),
+        registration_type="gicp",
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.T_target_source),
+        np.asarray(single.T_target_source),
+        atol=1e-5,
+    )
+    assert int(res.num_inliers) == int(single.num_inliers)
+
+
+def test_batch_throughput_engines_smoke(rng):
+    """vmap over pairs with different convergence speeds: masked loop
+    bodies must keep per-lane results exact (inactive lanes are no-ops)."""
+    b = 4
+    pairs = [_pair(rng, twist_scale=0.01 * (i + 1)) for i in range(b)]
+    targets = stack_clouds([p[0] for p in pairs])
+    sources = stack_clouds([p[1] for p in pairs])
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    res = align_batch(targets, sources, init_Ts, registration_type="gicp")
+    iters = np.asarray(res.iterations)
+    assert (iters >= 0).all()
+    for i in range(b):
+        single = align_impl(
+            pairs[i][0], pairs[i][1], None, jnp.eye(4, dtype=jnp.float32),
+            registration_type="gicp",
+        )
+        assert int(single.iterations) == int(iters[i])
