@@ -43,25 +43,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_scans(dataset_path: str, limit=None):
-    from small_gicp_tpu.utils.io import list_kitti_scans, read_kitti_bin, read_ply
+def load_scans(dataset_path: str, limit=None, max_points: int = 1 << 21):
+    """Prefetching scan stream: the native loader parses scan i+1 on a
+    background thread while scan i registers on device."""
+    from small_gicp_tpu.native import DatasetLoader
+    from small_gicp_tpu.utils.io import list_kitti_scans
 
-    bins = list_kitti_scans(dataset_path)
-    if bins:
-        paths, reader = bins, read_kitti_bin
-    else:
-        plys = sorted(
+    paths = list_kitti_scans(dataset_path)
+    if not paths:
+        paths = sorted(
             os.path.join(dataset_path, n)
             for n in os.listdir(dataset_path)
             if n.endswith(".ply")
         )
-        if not plys:
-            raise SystemExit(f"no *.bin or *.ply scans in {dataset_path}")
-        paths, reader = plys, read_ply
+    if not paths:
+        raise SystemExit(f"no *.bin or *.ply scans in {dataset_path}")
     if limit is not None:
         paths = paths[:limit]
-    for p in paths:
-        yield reader(p)
+    return DatasetLoader(paths, max_points=max_points)
 
 
 def main(argv=None) -> int:
