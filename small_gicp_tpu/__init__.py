@@ -13,6 +13,14 @@ Public API mirrors the reference's Python binding surface
 (reference: src/python/python.cpp:16-27, align.cpp:95-106).
 """
 
+import jax as _jax
+
+# The voxel-key layer packs 3x21-bit coordinates into int64 (same
+# encoding as the reference, util/downsampling.hpp:30-49), which
+# requires x64 support. All float arrays carry explicit dtypes, so
+# enabling x64 here does not change any float math in the library.
+_jax.config.update("jax_enable_x64", True)
+
 from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.utils.lie import se3_exp, so3_exp, skew
 from small_gicp_tpu.utils.io import read_ply, write_ply, read_kitti_bin

@@ -1,0 +1,107 @@
+"""Checkpoint/resume round-trips and trajectory metrics."""
+
+import numpy as np
+import pytest
+
+from small_gicp_tpu.models.odometry import OdometryParams, create_odometry
+from small_gicp_tpu.utils.checkpoint import (
+    load_odometry_state,
+    load_pytree,
+    save_odometry_state,
+    save_pytree,
+)
+from small_gicp_tpu.utils.metrics import (
+    ape_translation,
+    load_kitti_trajectory,
+    rpe_translation,
+    umeyama_alignment,
+)
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap
+
+
+PARAMS = OdometryParams(
+    num_neighbors=10, downsampling_resolution=0.3, voxel_resolution=1.0,
+    max_scan_points=4096, max_downsampled=4096, map_capacity=8192,
+)
+
+
+def _frames(n_frames, seed=3):
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(-8, 8, size=(1700, 2))
+    ground = np.c_[g[:, 0], g[:, 1], 0.3 * np.sin(0.7 * g[:, 0])]
+    w = rng.uniform(-8, 8, size=(600, 2))
+    wall = np.c_[w[:, 0], np.full(600, -8.0), 1 + w[:, 1] * 0.2]
+    world = np.concatenate([ground, wall])
+    return [
+        (world - [0.15 * i, 0, 0] + rng.normal(scale=0.005, size=world.shape)
+         ).astype(np.float32)
+        for i in range(n_frames)
+    ]
+
+
+def test_pytree_roundtrip(tmp_path, rng):
+    vm = GaussianVoxelMap.empty(1.0, capacity=128)
+    path = str(tmp_path / "vm.npz")
+    save_pytree(path, vm)
+    vm2 = load_pytree(path, GaussianVoxelMap.empty(1.0, capacity=128))
+    np.testing.assert_array_equal(np.asarray(vm.keys), np.asarray(vm2.keys))
+    with pytest.raises(ValueError):
+        load_pytree(path, GaussianVoxelMap.empty(1.0, capacity=64))
+
+
+def test_odometry_resume_matches_continuous(tmp_path):
+    frames = _frames(6)
+    # Continuous run.
+    odo_full = create_odometry("small_gicp_model", PARAMS)
+    poses_full = odo_full.estimate(frames)
+    # Run 3 frames, checkpoint, resume in a fresh engine, run the rest.
+    odo_a = create_odometry("small_gicp_model", PARAMS)
+    odo_a.estimate(frames[:3])
+    ckpt = str(tmp_path / "odo.npz")
+    save_odometry_state(ckpt, odo_a)
+    odo_b = create_odometry("small_gicp_model", PARAMS)
+    load_odometry_state(ckpt, odo_b)
+    poses_b = odo_b.estimate(frames[3:])
+    np.testing.assert_allclose(
+        poses_b[-1], poses_full[-1], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_metrics(tmp_path, rng):
+    # Ground truth: a curve; estimate: GT transformed rigidly + noise.
+    t = np.linspace(0, 10, 200)
+    gt = np.tile(np.eye(4), (200, 1, 1))
+    gt[:, 0, 3] = t
+    gt[:, 1, 3] = np.sin(t * 0.3)
+    R = np.asarray([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+    est = gt.copy()
+    est[:, :3, 3] = gt[:, :3, 3] @ R.T + [5, -2, 0.1]
+    est[:, :3, :3] = R @ gt[:, :3, :3]
+    est[:, :3, 3] += rng.normal(scale=0.01, size=(200, 3))
+
+    mean, std = ape_translation(est, gt, align=True)
+    assert mean < 0.05  # alignment removes the rigid offset
+    mean_noalign, _ = ape_translation(est, gt, align=False)
+    assert mean_noalign > 1.0
+
+    rpe_mean, _ = rpe_translation(est, gt, delta=50)
+    assert rpe_mean < 0.05
+
+    # KITTI round-trip via the odometry writer.
+    from small_gicp_tpu.models.odometry import write_trajectory
+
+    path = str(tmp_path / "traj.txt")
+    write_trajectory(path, gt)
+    back = load_kitti_trajectory(path)
+    np.testing.assert_allclose(back, gt, atol=1e-6)
+
+
+def test_umeyama_exact(rng):
+    src = rng.normal(size=(50, 3))
+    R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    dst = src @ R.T + [1.0, -2.0, 3.0]
+    T = umeyama_alignment(src, dst)
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-10)
+    np.testing.assert_allclose(src @ T[:3, :3].T + T[:3, 3], dst, atol=1e-10)
