@@ -41,8 +41,15 @@ from small_gicp_tpu.models.factors import (
     PointToPlaneICPFactor,
     GICPFactor,
 )
-from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.models.voxelmap import (
+    GaussianVoxelMap,
+    IncrementalVoxelMap,
+    IncrementalVoxelMapNormal,
+    IncrementalVoxelMapCov,
+    IncrementalVoxelMapNormalCov,
+)
 from small_gicp_tpu.ops.projective_search import ProjectiveSearch
+from small_gicp_tpu.interop import RegistrationTPU, as_point_cloud
 from small_gicp_tpu.models.helper import (
     RegistrationSetting,
     preprocess_points,
@@ -76,7 +83,12 @@ __all__ = [
     "align_points",
     "GaussianVoxelMap",
     "IncrementalVoxelMap",
+    "IncrementalVoxelMapNormal",
+    "IncrementalVoxelMapCov",
+    "IncrementalVoxelMapNormalCov",
     "ProjectiveSearch",
+    "RegistrationTPU",
+    "as_point_cloud",
     "RegistrationSetting",
     "preprocess_points",
     "create_gaussian_voxelmap",

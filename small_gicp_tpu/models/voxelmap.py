@@ -290,6 +290,22 @@ def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     return d2[rows, best], pos[rows, best].astype(jnp.int32), found[rows, best]
 
 
+def IncrementalVoxelMapNormal(leaf_size, capacity, **kw):
+    """Alias factory matching the reference binding names
+    (src/python/voxelmap.cpp:70-151: IncrementalVoxelMap{,Normal,Cov,NormalCov})."""
+    return IncrementalVoxelMap.empty(leaf_size, capacity, has_normals=True, **kw)
+
+
+def IncrementalVoxelMapCov(leaf_size, capacity, **kw):
+    return IncrementalVoxelMap.empty(leaf_size, capacity, has_covs=True, **kw)
+
+
+def IncrementalVoxelMapNormalCov(leaf_size, capacity, **kw):
+    return IncrementalVoxelMap.empty(
+        leaf_size, capacity, has_normals=True, has_covs=True, **kw
+    )
+
+
 def voxelmap_as_cloud(vm: GaussianVoxelMap) -> PointCloud:
     """Expose voxel means/covs as a point cloud (the reference passes the
     voxelmap as the *target cloud* too — registration_helper.cpp:136;

@@ -144,6 +144,16 @@ class KdTree:
             return d[0], i[0]
         return d, i
 
+    # Aliases matching the reference Python bindings' names
+    # (src/python/kdtree.cpp:122-213).
+    def batch_knn_search(self, query_xyz, k: int, num_threads: int = 1):
+        del num_threads  # parity only; XLA decides parallelism
+        return self.knn_search(query_xyz, k)
+
+    def batch_nearest_neighbor_search(self, query_xyz, num_threads: int = 1):
+        del num_threads
+        return self.nearest_neighbor_search(query_xyz)
+
     def nearest_neighbor_search(self, query_xyz, block: int = DEFAULT_QUERY_BLOCK):
         """k=1 special case (argmin reduction instead of top-k).
 

@@ -1,0 +1,113 @@
+"""RegistrationTPU (the RegistrationPCL-workflow drop-in) and array
+conversion — ports the reference's PCL interface test scenarios
+(registration_test.cpp:180-282: align, swap, clear, covariance reuse,
+Hessian sanity)."""
+
+import numpy as np
+import pytest
+
+import small_gicp_tpu as sgt
+from small_gicp_tpu.interop import (
+    RegistrationTPU,
+    as_point_cloud,
+    from_pointcloud2,
+    to_pointcloud2,
+    to_torch,
+)
+
+
+@pytest.fixture(scope="module")
+def pair(bundled_pair):
+    t_raw, s_raw, T_gt = bundled_pair
+    target, _ = sgt.preprocess_points(
+        t_raw.astype(np.float32), 0.5, num_neighbors=10, max_points=4096
+    )
+    source, _ = sgt.preprocess_points(
+        s_raw.astype(np.float32), 0.5, num_neighbors=10, max_points=4096
+    )
+    return target, source, T_gt
+
+
+def _check(T, T_gt):
+    rot_cos = (np.trace(T[:3, :3].T @ T_gt[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(rot_cos, -1, 1))) < 2.5
+    assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.2
+
+
+@pytest.mark.parametrize("rtype", ["GICP", "VGICP"])
+def test_registration_workflow(pair, rtype):
+    target, source, T_gt = pair
+    reg = RegistrationTPU()
+    reg.setRegistrationType(rtype)
+    reg.setInputTarget(target)
+    reg.setInputSource(source)
+    T = reg.align()
+    _check(T, T_gt)
+    assert reg.hasConverged()
+    H = reg.getFinalHessian()
+    assert H.shape == (6, 6)
+    assert np.all(np.linalg.eigvalsh((H + H.T) / 2) > 0)
+
+
+def test_swap_and_reuse(pair):
+    target, source, T_gt = pair
+    reg = RegistrationTPU()
+    reg.setInputTarget(target)
+    reg.setInputSource(source)
+    T_fwd = reg.align()
+    # Covariance reuse across swap (registration_test.cpp swap scenario).
+    reg.swapSourceAndTarget()
+    T_bwd = reg.align()
+    _check(T_bwd, np.linalg.inv(T_gt))
+    np.testing.assert_allclose(T_fwd @ T_bwd, np.eye(4), atol=0.05)
+    reg.clearSource()
+    with pytest.raises(RuntimeError):
+        reg.align()
+
+
+def test_cov_get_set(pair):
+    target, source, _ = pair
+    reg = RegistrationTPU()
+    reg.setInputTarget(target)
+    reg.setInputSource(source)
+    reg.align()
+    covs = reg.getSourceCovariances()
+    assert covs.shape == (len(source), 3, 3)
+    # Setting 4x4-padded covs (the reference's storage format) works too.
+    padded = np.zeros((len(source), 4, 4))
+    padded[:, :3, :3] = covs
+    reg.setSourceCovariances(padded)
+    np.testing.assert_allclose(reg.getSourceCovariances(), covs, rtol=1e-6)
+
+
+def test_pointcloud2_roundtrip(rng):
+    pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    cloud = as_point_cloud(pts)
+    msg = to_pointcloud2(cloud)
+    back = from_pointcloud2(msg["fields"], msg["data"], msg["point_step"])
+    np.testing.assert_allclose(back.points_numpy()[:, :3], pts, rtol=1e-6)
+
+
+def test_pointcloud2_nan_skip(rng):
+    pts = rng.uniform(-5, 5, (50, 3)).astype(np.float32)
+    pts[7] = np.nan
+    msg = to_pointcloud2(as_point_cloud(np.nan_to_num(pts)))
+    raw = np.frombuffer(msg["data"], np.float32).reshape(-1, 3).copy()
+    raw[7] = np.nan
+    back = from_pointcloud2(msg["fields"], raw.tobytes(), 12)
+    assert len(back) == 49
+
+
+def test_torch_and_structured(rng):
+    import torch
+
+    pts = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+    cloud = as_point_cloud(torch.from_numpy(pts))
+    assert len(cloud) == 64
+    t = to_torch(cloud)
+    np.testing.assert_allclose(t.numpy(), pts, rtol=1e-6)
+
+    rec = np.zeros(64, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")])
+    rec["x"], rec["y"], rec["z"] = pts.T
+    cloud2 = as_point_cloud(rec)
+    np.testing.assert_allclose(cloud2.points_numpy()[:, :3], pts)
