@@ -1,0 +1,173 @@
+"""Fully-jitted odometry: the whole scan-to-model loop as ONE XLA program.
+
+This is the TPU-native end state sketched in SURVEY.md §3.3: state =
+(T_world, voxel-map arrays) lives in HBM, and one `lax.scan` step =
+downsample → covariance estimation → batched KNN vs map → vmapped
+linearize → 6x6 solve → exp-update → scatter-insert. The host only
+supplies stacked frames and receives poses — zero per-frame dispatch,
+which matters doubly on tunneled TPU setups where every dispatch costs
+milliseconds.
+
+The per-frame Python engines in models/odometry.py remain the streaming
+API; this module is the throughput path (process a whole sequence, or
+chunk a long one with `JitOdometry.feed`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud, transform_covs
+from small_gicp_tpu.ops.downsampling import _voxelgrid_sampling_impl
+from small_gicp_tpu.ops.normals import _estimate_impl
+from small_gicp_tpu.models.registration import align_impl
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.models.odometry import OdometryParams
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_downsampled", "num_neighbors"),
+)
+def odometry_scan_step(
+    carry,
+    frame_points: jax.Array,  # [N,4] padded homogeneous
+    frame_count: jax.Array,  # scalar int32
+    downsampling_resolution: float = 0.25,
+    max_correspondence_distance: float = 1.0,
+    max_downsampled: int = 8192,
+    num_neighbors: int = 20,
+):
+    """One odometry step; carry = (T_world [4,4], voxelmap, is_first)."""
+    T_world, vm, is_first = carry
+    dtype = frame_points.dtype
+
+    pts, n = _voxelgrid_sampling_impl(
+        frame_points,
+        frame_count,
+        jnp.asarray(downsampling_resolution, dtype),
+        max_downsampled,
+    )
+    _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
+    cloud = PointCloud(points=pts, num_points=n, covs=covs)
+
+    # Registration vs the map (solves the absolute pose, like the
+    # reference's model engines). On the first frame the map is empty:
+    # every correspondence is masked out, H=0, all lambda trials accept a
+    # zero delta, and the selected pose below falls back to T_world.
+    result = align_impl(
+        vm,
+        cloud,
+        None,
+        T_world,
+        registration_type="gicp",
+        max_dist_sq=max_correspondence_distance**2,
+    )
+    T_new = jnp.where(is_first, T_world, result.T_target_source)
+
+    vm = vm.insert(cloud, T_new)
+    return (T_new, vm, jnp.asarray(False)), T_new
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_downsampled", "num_neighbors"),
+)
+def odometry_scan(
+    carry,
+    frames: jax.Array,  # [F,N,4]
+    counts: jax.Array,  # [F]
+    downsampling_resolution: float = 0.25,
+    max_correspondence_distance: float = 1.0,
+    max_downsampled: int = 8192,
+    num_neighbors: int = 20,
+):
+    """Run a chunk of frames through the odometry loop in one program.
+
+    Returns (carry, poses [F,4,4]).
+    """
+
+    def step(c, xs):
+        pts, cnt = xs
+        return odometry_scan_step(
+            c,
+            pts,
+            cnt,
+            downsampling_resolution=downsampling_resolution,
+            max_correspondence_distance=max_correspondence_distance,
+            max_downsampled=max_downsampled,
+            num_neighbors=num_neighbors,
+        )
+
+    return jax.lax.scan(step, carry, (frames, counts))
+
+
+class JitOdometry:
+    """Chunked driver around odometry_scan: feed [F,N,3] numpy frame
+    blocks, collect poses; device state persists across chunks.
+
+    Frames are processed in fixed-size chunks of `chunk_frames` (the
+    tail chunk padded with empty frames, which are exact no-ops: zero
+    points insert nothing and the pose carries through) so ONE compiled
+    program serves any sequence length.
+    """
+
+    def __init__(self, params: Optional[OdometryParams] = None,
+                 engine: str = "gicp_model", chunk_frames: int = 8):
+        self.chunk_frames = chunk_frames
+        self.params = params or OdometryParams()
+        p = self.params
+        dtype = jnp.dtype(p.dtype)
+        if engine == "gicp_model":
+            vm = IncrementalVoxelMap.empty(
+                p.voxel_resolution,
+                capacity=p.map_capacity,
+                dtype=dtype,
+                has_covs=True,
+            )
+        elif engine == "vgicp_model":
+            vm = GaussianVoxelMap.empty(
+                p.voxel_resolution, capacity=p.map_capacity, dtype=dtype
+            )
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self.carry = (jnp.eye(4, dtype=dtype), vm, jnp.asarray(True))
+        self.poses = []
+
+    def feed(self, frames) -> np.ndarray:
+        """Process [N,3] scans; returns their [F,4,4] poses."""
+        p = self.params
+        fc = self.chunk_frames
+        out = []
+        for start in range(0, len(frames), fc):
+            block = frames[start:start + fc]
+            n_real = len(block)
+            stacked = np.full((fc, p.max_scan_points, 4), PAD_SENTINEL, p.dtype)
+            stacked[:, :, 3] = 0.0
+            counts = np.zeros((fc,), np.int32)
+            for i, f in enumerate(block):
+                f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
+                stacked[i, : len(f), :3] = f
+                stacked[i, : len(f), 3] = 1.0
+                counts[i] = len(f)
+            # The voxelmap pytree type in `carry` selects gicp-model vs
+            # vgicp-model behavior (align_impl dispatches on target type).
+            self.carry, poses = odometry_scan(
+                self.carry,
+                jnp.asarray(stacked),
+                jnp.asarray(counts),
+                downsampling_resolution=p.downsampling_resolution,
+                max_correspondence_distance=p.max_correspondence_distance,
+                max_downsampled=p.max_downsampled,
+                num_neighbors=p.num_neighbors,
+            )
+            out.append(np.asarray(poses)[:n_real])
+        poses = np.concatenate(out) if out else np.zeros((0, 4, 4), p.dtype)
+        self.poses.extend(poses)
+        return poses

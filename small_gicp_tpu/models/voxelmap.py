@@ -226,8 +226,10 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     merged_keys = jnp.where(in_range, merged_keys, INVALID_KEY)
 
     # LRU eviction every lru_clear_cycle inserts: drop voxels with
-    # lru + horizon < counter (incremental_voxelmap.hpp:74-79).
-    counter = vm.lru_counter + 1
+    # lru + horizon < counter (incremental_voxelmap.hpp:74-79). Empty
+    # inserts (zero valid points, e.g. padding frames in the jitted
+    # odometry scan) do not advance the LRU clock.
+    counter = jnp.where(num_points > 0, vm.lru_counter + 1, vm.lru_counter)
     do_clear = (counter % vm.lru_clear_cycle) == 0
     expired = (merged_lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
     evict = do_clear & expired & in_range
@@ -323,88 +325,44 @@ def voxelmap_as_cloud(vm: GaussianVoxelMap) -> PointCloud:
 # ======================================================================
 
 
-def _merge_keys(old_keys, old_lru, new_keys, new_valid, counter, horizon,
-                clear_cycle, cap):
-    """Merge sorted old keys with new (unsorted, unique) keys.
-
-    Returns (out_keys [cap] sorted, out_lru [cap]). Applies the LRU
-    eviction cycle and, on capacity overflow, keeps the most recently
-    used voxels (the reference grows unboundedly between eviction
-    cycles — incremental_voxelmap.hpp:74-86; fixed capacity forces an
-    explicit overflow policy here).
-    """
-    n = new_keys.shape[0]
-    m = cap + n
-    all_keys = jnp.concatenate([old_keys, jnp.where(new_valid, new_keys, INVALID_KEY)])
-    all_lru = jnp.concatenate([old_lru, jnp.full((n,), counter, jnp.int32)])
-
-    order = jnp.argsort(all_keys)
-    k = all_keys[order]
-    lru = all_lru[order]
-    valid = k != INVALID_KEY
-    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], k.dtype), k[:-1]])
-    is_new = (k != prev) & valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    seg = jnp.where(valid, seg, m - 1)
-    total = jnp.sum(is_new).astype(jnp.int32)
-
-    int32_min = jnp.iinfo(jnp.int32).min
-    merged_keys = jax.ops.segment_max(
-        jnp.where(valid, k, jnp.int64(-1)), seg, num_segments=m
-    )
-    merged_lru = jax.ops.segment_max(
-        jnp.where(valid, lru, int32_min), seg, num_segments=m
-    )
-    row = jnp.arange(m)
-    in_range = row < total
-    merged_keys = jnp.where(in_range, merged_keys, INVALID_KEY)
-
-    do_clear = (counter % clear_cycle) == 0
-    expired = (merged_lru.astype(jnp.int64) + horizon) < counter.astype(jnp.int64)
-    merged_keys = jnp.where(do_clear & expired & in_range, INVALID_KEY, merged_keys)
-
-    alive = merged_keys != INVALID_KEY
-    overflow = jnp.sum(alive) > cap
-    lru_rank = jnp.argsort(
-        jnp.where(alive, -merged_lru.astype(jnp.int64), jnp.iinfo(jnp.int64).max)
-    )
-    keep_rank = jnp.zeros((m,), bool).at[lru_rank[:cap]].set(True)
-    keep = alive & jnp.where(overflow, keep_rank, True)
-    merged_keys = jnp.where(keep, merged_keys, INVALID_KEY)
-
-    order2 = jnp.argsort(merged_keys)[:cap]
-    return merged_keys[order2], merged_lru[order2]
-
-
 @struct.dataclass
 class IncrementalVoxelMap:
     """Incremental scan-to-model voxel map (pytree).
 
     TPU equivalent of IncrementalVoxelMap<FlatContainer<...>>
     (ann/incremental_voxelmap.hpp:38-203 + ann/flat_container.hpp:20-154,
-    i.e. "linear iVox" from Faster-LIO): a fixed set of V voxels, each a
-    fixed [C]-slot point bucket. The CPU hash table becomes a sorted key
-    array + binary search; per-voxel linear-scan KNN becomes a batched
-    gather of the offset-neighborhood buckets + masked top-k.
+    i.e. "linear iVox" from Faster-LIO). The CPU design is a hash table
+    into per-voxel point buckets; the TPU design is a **flat point table
+    sorted by voxel key**: a voxel is a contiguous run of rows, found by
+    binary search. Insertion is two stable multi-operand sorts plus
+    segment reductions — no scatter/gather over bucket tables, which are
+    pathologically slow on TPU (~us per row); everything streams through
+    the sort at HBM bandwidth.
 
-    Semantics preserved: per-cell capacity (default 10) and min-distance
-    dedup (default 0.1 m, flat_container.hpp:24-27; here enforced by a
-    fine sub-grid of that resolution, a deterministic batched
-    approximation of the reference's sequential check), LRU horizon
-    eviction (100/10), offset search patterns 1/7/27, global point id =
-    voxel_id * C + slot (the reference packs voxel_id<<32|point_id —
-    incremental_voxelmap.hpp:151).
+    Semantics preserved from the reference:
+      * per-voxel point cap (default 10, arrival order kept — stable
+        sort keeps earlier points first, flat_container.hpp:43-58)
+      * min-distance dedup (default 0.1 m, flat_container.hpp:24-27),
+        enforced by a fine-grid hash at that resolution — a batched
+        deterministic approximation of the sequential distance check
+      * LRU-horizon voxel eviction (100/10,
+        incremental_voxelmap.hpp:74-86); empty inserts don't advance
+        the LRU clock
+      * offset search patterns 1/7/27 (incremental_voxelmap.hpp:157-186)
+
+    `capacity` is the maximum number of STORED POINTS (the reference's
+    total bucket budget; overflow drops highest-key rows).
     """
 
-    keys: jax.Array  # [V] sorted int64
-    points: jax.Array  # [V, C, 4]
-    cell_counts: jax.Array  # [V] int32
+    point_keys: jax.Array  # [P] int64 voxel key per point, sorted, INVALID pad
+    points: jax.Array  # [P,4]
+    stamps: jax.Array  # [P] int32 lru stamp of the point's voxel
+    num_points_stored: jax.Array  # scalar int32
     num_voxels: jax.Array  # scalar int32
-    lru: jax.Array  # [V] int32
     lru_counter: jax.Array  # scalar int32
     leaf_size: jax.Array  # scalar
-    normals: Optional[jax.Array] = None  # [V, C, 4]
-    covs: Optional[jax.Array] = None  # [V, C, 3, 3]
+    normals: Optional[jax.Array] = None  # [P,4]
+    covs: Optional[jax.Array] = None  # [P,3,3]
 
     cell_capacity: int = struct.field(pytree_node=False, default=10)
     num_offsets: int = struct.field(pytree_node=False, default=1)
@@ -414,7 +372,7 @@ class IncrementalVoxelMap:
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.point_keys.shape[0]
 
     @staticmethod
     def empty(
@@ -429,18 +387,18 @@ class IncrementalVoxelMap:
         lru_clear_cycle: int = 10,
         min_sq_dist_in_cell: float = 0.01,
     ) -> "IncrementalVoxelMap":
-        v, c = capacity, cell_capacity
+        p = capacity
         pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
         return IncrementalVoxelMap(
-            keys=jnp.full((v,), INVALID_KEY, jnp.int64),
-            points=jnp.broadcast_to(pad, (v, c, 4)).copy(),
-            cell_counts=jnp.zeros((v,), jnp.int32),
+            point_keys=jnp.full((p,), INVALID_KEY, jnp.int64),
+            points=jnp.broadcast_to(pad, (p, 4)).copy(),
+            stamps=jnp.zeros((p,), jnp.int32),
+            num_points_stored=jnp.asarray(0, jnp.int32),
             num_voxels=jnp.asarray(0, jnp.int32),
-            lru=jnp.zeros((v,), jnp.int32),
             lru_counter=jnp.asarray(0, jnp.int32),
             leaf_size=jnp.asarray(leaf_size, dtype),
-            normals=jnp.zeros((v, c, 4), dtype) if has_normals else None,
-            covs=jnp.zeros((v, c, 3, 3), dtype) if has_covs else None,
+            normals=jnp.zeros((p, 4), dtype) if has_normals else None,
+            covs=jnp.zeros((p, 3, 3), dtype) if has_covs else None,
             cell_capacity=cell_capacity,
             num_offsets=num_offsets,
             lru_horizon=lru_horizon,
@@ -474,173 +432,186 @@ class IncrementalVoxelMap:
     def knn_search(self, query_xyz: jax.Array, k: int):
         """Batched kNN over the offset neighborhood
         (incremental_voxelmap.hpp:127-148): returns
-        (sq_dists [Q,k], flat_idx [Q,k], found [Q,k])."""
+        (sq_dists [Q,k], flat_idx [Q,k], found [Q,k]); flat_idx indexes
+        the points_flat()/covs_flat() views."""
         return _ivm_knn(self, query_xyz, k)
 
     def nearest_neighbor_search(self, query_xyz: jax.Array):
         d, i, f = _ivm_knn(self, query_xyz, 1)
         return d[:, 0], i[:, 0], f[:, 0]
 
-    # Flat [V*C] views — the analog of traits::voxel_points/normals/covs
-    # (incremental_voxelmap.hpp:255-291); flat_idx indexes these.
+    # Flat views (analog of traits::voxel_points/normals/covs,
+    # incremental_voxelmap.hpp:255-291); valid rows are compacted to the
+    # front and sorted by voxel key.
     def points_flat(self) -> jax.Array:
-        return self.points.reshape(-1, 4)
+        return self.points
 
     def normals_flat(self) -> Optional[jax.Array]:
-        return None if self.normals is None else self.normals.reshape(-1, 4)
+        return self.normals
 
     def covs_flat(self) -> Optional[jax.Array]:
-        return None if self.covs is None else self.covs.reshape(-1, 3, 3)
+        return self.covs
 
     def size(self) -> jax.Array:
         """Total number of stored points."""
-        return jnp.sum(self.cell_counts)
+        return self.num_points_stored
+
+    def valid_points_mask(self) -> jax.Array:
+        return jnp.arange(self.capacity) < self.num_points_stored
+
+
+def _fine_hash(xyz: jax.Array, fine_leaf) -> jax.Array:
+    """Mixed 64-bit hash of fine-grid integer coords (dedup cell id).
+
+    Hash collisions at worst drop one extra point from the dedup —
+    harmless for a dedup approximation.
+    """
+    fc = jnp.floor(xyz / fine_leaf).astype(jnp.int64)
+    h = (
+        fc[:, 0] * jnp.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15
+        + fc[:, 1] * jnp.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
+        + fc[:, 2] * jnp.int64(1609587929392839161)   # 0x165667B19E3779F9
+    )
+    h = h ^ (h >> 29)
+    h = h * jnp.int64(-4658895280553007687)  # 0xBF58476D1CE4E5B9
+    return h ^ (h >> 32)
 
 
 @jax.jit
 def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
-    capV = vm.capacity
+    P = vm.capacity
     C = vm.cell_capacity
     n = points.shape[0]
     dtype = vm.points.dtype
-    counter = vm.lru_counter + 1
+    m = P + n
+    # Empty inserts do not advance the LRU clock.
+    counter = jnp.where(num_points > 0, vm.lru_counter + 1, vm.lru_counter)
 
     inv_leaf = (1.0 / vm.leaf_size).astype(points.dtype)
-    keys = pack_coords(voxel_coords(points[:, :3], inv_leaf))
-    keys = jnp.where(jnp.arange(n) < num_points, keys, INVALID_KEY)
+    new_keys = pack_coords(voxel_coords(points[:, :3], inv_leaf))
+    new_keys = jnp.where(jnp.arange(n) < num_points, new_keys, INVALID_KEY)
 
-    # --- Fine-grid dedup at min-dist resolution (batched stand-in for the
-    # sequential min_sq_dist_in_cell check, flat_container.hpp:43-50).
-    # Fine cells are identified by a mixed 64-bit hash of the unbounded
-    # integer fine coordinates (not the 21-bit packing, whose range the
-    # fine grid easily overflows); a hash collision at worst drops one
-    # extra point from the dedup — harmless for a dedup approximation.
+    # ------------------------------------------------------------------
+    # Combined table: old rows first (arrival order ties in the stable
+    # sorts below resolve old-before-new, matching the reference's
+    # sequential insert).
+    all_keys = jnp.concatenate([vm.point_keys, new_keys])
+    all_stamps = jnp.concatenate([vm.stamps, jnp.full((n,), counter, jnp.int32)])
+    is_new_row = jnp.concatenate(
+        [jnp.zeros((P,), jnp.int32), jnp.ones((n,), jnp.int32)]
+    )
+    row_id = jnp.arange(m, dtype=jnp.int32)
+
+    # ------------------------------------------------------------------
+    # Min-dist dedup at the fine grid: stable-sort (hash, row) and keep
+    # only the first row of each fine cell — old rows sort first, so a
+    # new point landing in an occupied fine cell is dropped, like the
+    # reference's distance check against existing occupants
+    # (flat_container.hpp:43-50).
     if vm.min_sq_dist_in_cell > 0.0:
         fine_leaf = jnp.sqrt(jnp.asarray(vm.min_sq_dist_in_cell, points.dtype))
-        fc = jnp.floor(points[:, :3] / fine_leaf).astype(jnp.int64)
-        h = (
-            fc[:, 0] * jnp.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15
-            + fc[:, 1] * jnp.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
-            + fc[:, 2] * jnp.int64(1609587929392839161)   # 0x165667B19E3779F9
+        all_xyz3 = jnp.concatenate([vm.points[:, :3], points[:, :3].astype(dtype)])
+        fh = _fine_hash(all_xyz3, fine_leaf)
+        fh = jnp.where(all_keys != INVALID_KEY, fh, INVALID_KEY)
+        fh_s, row_s = jax.lax.sort((fh, row_id), num_keys=1)
+        first = jnp.concatenate(
+            [jnp.asarray([True]), fh_s[1:] != fh_s[:-1]]
+        ) & (fh_s != INVALID_KEY)
+        keep_fine = jnp.zeros((m,), bool).at[row_s].set(first)
+        # Old rows always survive (their fine cells are unique by
+        # construction); only new duplicates are dropped.
+        keep_fine = keep_fine | (is_new_row == 0)
+        all_keys = jnp.where(
+            keep_fine, all_keys, INVALID_KEY
         )
-        h = h ^ (h >> 29)
-        h = h * jnp.int64(-4658895280553007687)  # 0xBF58476D1CE4E5B9
-        h = h ^ (h >> 32)
-        fine_keys = jnp.where(keys != INVALID_KEY, h, INVALID_KEY)
-        forder = jnp.argsort(fine_keys, stable=True)
-        fsorted = fine_keys[forder]
-        fprev = jnp.concatenate(
-            [jnp.asarray([INVALID_KEY], fsorted.dtype), fsorted[:-1]]
-        )
-        f_first = (fsorted != fprev) & (fsorted != INVALID_KEY)
-        keep_mask = jnp.zeros((n,), bool).at[forder].set(f_first)
-        keys = jnp.where(keep_mask, keys, INVALID_KEY)
 
-    # --- Sort incoming by coarse key; compute per-voxel unique keys and
-    # within-voxel arrival ranks.
-    order = jnp.argsort(keys, stable=True)
-    k_s = keys[order]
+    # ------------------------------------------------------------------
+    # Main stable sort by voxel key, carrying all payload columns.
+    pts_all = jnp.concatenate([vm.points, points.astype(dtype)])
+    ops = [all_keys, all_stamps, row_id] + [pts_all[:, i] for i in range(4)]
+    nrm_all = cov_all = None
+    if vm.normals is not None:
+        nrm_all = jnp.concatenate([vm.normals, normals.astype(dtype)])
+        ops += [nrm_all[:, i] for i in range(4)]
+    if vm.covs is not None:
+        cov_all = jnp.concatenate(
+            [vm.covs.reshape(P, 9), covs.reshape(n, 9).astype(dtype)]
+        )
+        ops += [cov_all[:, i] for i in range(9)]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
+    k_s, stamp_s = sorted_ops[0], sorted_ops[1]
+    payload_s = list(sorted_ops[3:])
+
     valid = k_s != INVALID_KEY
     prev = jnp.concatenate([jnp.asarray([INVALID_KEY], k_s.dtype), k_s[:-1]])
-    is_new = (k_s != prev) & valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    seg = jnp.where(valid, seg, n - 1)
-    # rank within segment = position − segment start
-    pos = jnp.arange(n)
+    seg_first = (k_s != prev) & valid
+    seg = jnp.cumsum(seg_first.astype(jnp.int32)) - 1
+    seg = jnp.where(valid, seg, m - 1)
+    pos = jnp.arange(m, dtype=jnp.int32)
+
+    # Voxel LRU stamp = max over the run (new points refresh the voxel).
+    vox_stamp = jax.ops.segment_max(
+        jnp.where(valid, stamp_s, jnp.iinfo(jnp.int32).min), seg, num_segments=m
+    )
+    stamp_of_point = vox_stamp[seg]
+
+    # Per-voxel cap by arrival rank (stable sort kept arrival order).
     seg_start = jax.ops.segment_min(
-        jnp.where(valid, pos, n), seg, num_segments=n
+        jnp.where(valid, pos, m), seg, num_segments=m
     )
     rank = pos - seg_start[seg]
+    keep = valid & (rank < C)
 
-    uniq_keys = jax.ops.segment_max(
-        jnp.where(valid, k_s, jnp.int64(-1)), seg, num_segments=n
-    )
-    n_uniq = jnp.sum(is_new).astype(jnp.int32)
-    uniq_valid = jnp.arange(n) < n_uniq
-    uniq_keys = jnp.where(uniq_valid, uniq_keys, INVALID_KEY)
+    # LRU eviction cycle.
+    do_clear = (counter % vm.lru_clear_cycle) == 0
+    expired = (
+        stamp_of_point.astype(jnp.int64) + vm.lru_horizon
+    ) < counter.astype(jnp.int64)
+    keep = keep & ~(do_clear & expired)
 
-    # --- Merge key sets with LRU/eviction, then remap old payload.
-    out_keys, out_lru = _merge_keys(
-        vm.keys, vm.lru, uniq_keys, uniq_valid, counter,
-        vm.lru_horizon, vm.lru_clear_cycle, capV,
-    )
-    old_pos = jnp.clip(jnp.searchsorted(vm.keys, out_keys), 0, capV - 1)
-    old_found = (vm.keys[old_pos] == out_keys) & (out_keys != INVALID_KEY)
-
-    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
-    out_points = jnp.where(
-        old_found[:, None, None], vm.points[old_pos], jnp.broadcast_to(pad, (capV, C, 4))
-    )
-    out_counts = jnp.where(old_found, vm.cell_counts[old_pos], 0)
+    # ------------------------------------------------------------------
+    # Compaction: second stable sort pushes dropped rows to the tail.
+    k_keep = jnp.where(keep, k_s, INVALID_KEY)
+    ops2 = [k_keep, stamp_of_point] + payload_s
+    sorted2 = jax.lax.sort(tuple(ops2), num_keys=1, is_stable=True)
+    out_keys = sorted2[0][:P]
+    out_stamps = sorted2[1][:P]
+    cols = sorted2[2:]
+    out_points = jnp.stack([c[:P] for c in cols[0:4]], axis=1)
+    off = 4
     out_normals = None
     out_covs = None
     if vm.normals is not None:
-        out_normals = jnp.where(
-            old_found[:, None, None], vm.normals[old_pos], 0.0
-        )
+        out_normals = jnp.stack([c[:P] for c in cols[off:off + 4]], axis=1)
+        off += 4
     if vm.covs is not None:
-        out_covs = jnp.where(
-            old_found[:, None, None, None], vm.covs[old_pos], 0.0
-        )
+        out_covs = jnp.stack(
+            [c[:P] for c in cols[off:off + 9]], axis=1
+        ).reshape(P, 3, 3)
 
-    # --- Insert the deduped new points.
-    pts_s = points[order].astype(dtype)
-    vidx = jnp.clip(jnp.searchsorted(out_keys, k_s), 0, capV - 1)
-    voxel_found = (out_keys[vidx] == k_s) & valid
-
-    # Min-dist check vs the existing (pre-insert) cell occupants.
-    cell_pts = out_points[vidx][..., :3]  # [n, C, 3]
-    slot_ids = jnp.arange(C)[None, :]
-    occupied = slot_ids < out_counts[vidx][:, None]
-    diff = cell_pts - pts_s[:, None, :3]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    too_close = jnp.any(occupied & (d2 < vm.min_sq_dist_in_cell), axis=-1)
-
-    want = voxel_found & ~too_close
-    # Re-rank among surviving points in each voxel: number of survivors
-    # strictly before this row within its segment.
-    want_i = want.astype(jnp.int32)
-    csum = jnp.cumsum(want_i)
-    seg_base = jax.ops.segment_min(
-        jnp.where(valid, csum - want_i, n), seg, num_segments=n
+    out_valid = out_keys != INVALID_KEY
+    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
+    out_points = jnp.where(out_valid[:, None], out_points, pad)
+    prev_o = jnp.concatenate(
+        [jnp.asarray([INVALID_KEY], out_keys.dtype), out_keys[:-1]]
     )
-    surv_rank = csum - want_i - seg_base[seg]
-    slot = out_counts[vidx] + surv_rank
-    do_write = want & (slot < C)
-    slot = jnp.clip(slot, 0, C - 1)
-    # Route suppressed writes to a scratch voxel row far in the padding...
-    # simpler: mask by writing to voxel capV-1 slot C-1 only when that is
-    # safe is fishy — instead scatter with explicit drop via where on idx.
-    w_vidx = jnp.where(do_write, vidx, capV)  # capV = out-of-bounds → dropped
-    out_points = out_points.at[w_vidx, slot].set(pts_s, mode="drop")
-    if out_normals is not None:
-        out_normals = out_normals.at[w_vidx, slot].set(
-            normals[order].astype(dtype), mode="drop"
-        )
-    if out_covs is not None:
-        out_covs = out_covs.at[w_vidx, slot].set(
-            covs[order].astype(dtype), mode="drop"
-        )
-    added = jax.ops.segment_sum(
-        do_write.astype(jnp.int32), w_vidx, num_segments=capV + 1
-    )[:capV]
-    out_counts = jnp.minimum(out_counts + added, C)
+    n_vox = jnp.sum((out_keys != prev_o) & out_valid).astype(jnp.int32)
 
     return vm.replace(
-        keys=out_keys,
+        point_keys=out_keys,
         points=out_points,
         normals=out_normals,
         covs=out_covs,
-        cell_counts=out_counts,
-        num_voxels=jnp.sum(out_keys != INVALID_KEY).astype(jnp.int32),
-        lru=out_lru,
+        stamps=jnp.where(out_valid, out_stamps, 0),
+        num_points_stored=jnp.sum(out_valid).astype(jnp.int32),
+        num_voxels=n_vox,
         lru_counter=counter,
     )
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
-    capV = vm.capacity
+    P = vm.capacity
     C = vm.cell_capacity
     q = query_xyz.shape[0]
     offsets = neighbor_offsets(vm.num_offsets)  # [K,3]
@@ -649,20 +620,19 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
     inv_leaf = (1.0 / vm.leaf_size).astype(query_xyz.dtype)
     center = voxel_coords(query_xyz, inv_leaf)
     cand_keys = pack_coords(center[:, None, :] + offsets[None, :, :])  # [Q,K]
-    pos = jnp.clip(
-        jnp.searchsorted(vm.keys, cand_keys.reshape(-1)).reshape(q, K), 0, capV - 1
-    )
-    vfound = (vm.keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)  # [Q,K]
 
-    cand_pts = vm.points[pos][..., :3]  # [Q,K,C,3]
-    slot_ids = jnp.arange(C)[None, None, :]
-    occ = slot_ids < vm.cell_counts[pos][:, :, None]  # [Q,K,C]
-    usable = occ & vfound[:, :, None]
+    # A voxel is a contiguous run; its start row by binary search, then a
+    # C-row window gather (runs are capped at C rows by insert).
+    start = jnp.searchsorted(vm.point_keys, cand_keys.reshape(-1)).reshape(q, K)
+    idx = jnp.clip(start[:, :, None] + jnp.arange(C)[None, None, :], 0, P - 1)
+    gkeys = vm.point_keys[idx]  # [Q,K,C]
+    usable = (gkeys == cand_keys[:, :, None]) & (cand_keys != INVALID_KEY)[:, :, None]
 
+    cand_pts = vm.points[idx][..., :3]  # [Q,K,C,3]
     diff = cand_pts - query_xyz[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [Q,K,C]
+    d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(usable, d2, _FAR).reshape(q, K * C)
-    flat_idx = (pos[:, :, None] * C + slot_ids).reshape(q, K * C)
+    flat_idx = idx.reshape(q, K * C)
 
     if k == 1:
         best = jnp.argmin(d2, axis=-1)

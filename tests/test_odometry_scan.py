@@ -1,0 +1,61 @@
+"""Fully-jitted odometry (lax.scan over frames) — must match the
+per-frame Python engine and track ground truth."""
+
+import numpy as np
+import pytest
+
+from small_gicp_tpu.models.odometry import OdometryParams, create_odometry
+from small_gicp_tpu.models.odometry_scan import JitOdometry
+
+
+def _frames(n_frames=5, step=0.15, seed=3):
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(-8, 8, size=(1700, 2))
+    ground = np.c_[g[:, 0], g[:, 1], 0.3 * np.sin(0.7 * g[:, 0]) + 0.2 * np.cos(0.9 * g[:, 1])]
+    w1 = rng.uniform(-8, 8, size=(400, 2))
+    wall1 = np.c_[w1[:, 0], np.full(400, -8.0) + 0.05 * np.sin(w1[:, 0]), 1 + w1[:, 1] * 0.2]
+    w2 = rng.uniform(-8, 8, size=(400, 2))
+    wall2 = np.c_[np.full(400, 8.0) + 0.05 * np.cos(w2[:, 0]), w2[:, 0], 1 + w2[:, 1] * 0.2]
+    world = np.concatenate([ground, wall1, wall2])
+    return [
+        (world - [step * i, 0, 0] + rng.normal(scale=0.005, size=world.shape)
+         ).astype(np.float32)
+        for i in range(n_frames)
+    ]
+
+
+PARAMS = OdometryParams(
+    num_neighbors=10, downsampling_resolution=0.3, voxel_resolution=1.0,
+    max_scan_points=4096, max_downsampled=4096, map_capacity=8192,
+)
+
+
+@pytest.mark.parametrize("engine", ["gicp_model", "vgicp_model"])
+def test_jit_odometry_tracks(engine):
+    frames = _frames()
+    odo = JitOdometry(PARAMS, engine=engine)
+    poses = odo.feed(frames)
+    assert poses.shape == (5, 4, 4)
+    assert abs(poses[-1, 0, 3] - 0.6) < 0.05, f"{engine}: x={poses[-1, 0, 3]}"
+    assert np.linalg.norm(poses[-1, :3, :3] - np.eye(3)) < 0.02
+
+
+def test_jit_odometry_chunked_matches_single_feed():
+    frames = _frames(6)
+    a = JitOdometry(PARAMS)
+    poses_a = a.feed(frames)
+    b = JitOdometry(PARAMS)
+    b.feed(frames[:3])
+    poses_b_tail = b.feed(frames[3:])
+    np.testing.assert_allclose(poses_a[-1], poses_b_tail[-1], rtol=1e-5, atol=1e-6)
+
+
+def test_jit_matches_python_engine():
+    frames = _frames(4)
+    jit_odo = JitOdometry(PARAMS)
+    jit_poses = jit_odo.feed(frames)
+    py_odo = create_odometry("small_gicp_model", PARAMS)
+    py_poses = py_odo.estimate(frames)
+    # Same math modulo the python engine's separate jit programs; poses
+    # should agree tightly.
+    np.testing.assert_allclose(jit_poses[-1], py_poses[-1], atol=1e-3)

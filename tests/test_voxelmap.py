@@ -101,9 +101,7 @@ def test_incremental_map_insert_and_knn(rng):
 
     # Self-query: every stored point must find itself at distance 0.
     stored = np.asarray(vm.points_flat())
-    counts = np.asarray(vm.cell_counts)
-    C = vm.cell_capacity
-    valid_slots = (np.arange(C)[None, :] < counts[:, None]).reshape(-1)
+    valid_slots = np.asarray(vm.valid_points_mask())
     q = stored[valid_slots][:, :3]
     d2, idx, found = vm.knn_search(jnp.asarray(q), 1)
     assert np.all(np.asarray(found))
@@ -174,8 +172,7 @@ def test_incremental_map_normals_covs(rng):
     T[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], dtype=float)
     vm = vm.insert(cloud, jnp.asarray(T))
     stored_n = np.asarray(vm.normals_flat())
-    counts = np.asarray(vm.cell_counts)
-    valid = (np.arange(vm.cell_capacity)[None, :] < counts[:, None]).reshape(-1)
+    valid = np.asarray(vm.valid_points_mask())
     assert np.allclose(stored_n[valid][:, 1], -1.0, atol=1e-12)  # z → −y
     stored_c = np.asarray(vm.covs_flat())[valid]
     assert np.allclose(stored_c, np.eye(3) * 0.1, atol=1e-12)  # isotropic
