@@ -1,0 +1,56 @@
+"""Sharded voxel-map NN queries must match single-device results exactly
+(8-device CPU-simulated mesh)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.parallel.map_sharding import (
+    shard_gaussian_voxelmap,
+    shard_incremental_voxelmap,
+    sharded_gvm_nn,
+    sharded_ivm_nn,
+)
+from small_gicp_tpu.parallel.sharding import make_mesh
+from small_gicp_tpu.point_cloud import PointCloud
+
+
+def _cloud(rng, n=4000):
+    pts = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 0.01, (n, 3, 3))
+    return PointCloud.from_points(pts).replace(covs=covs), pts
+
+
+def test_sharded_gvm_matches_single(rng):
+    cloud, pts = _cloud(rng)
+    vm = GaussianVoxelMap.build(cloud, 1.0, capacity=8192)
+    q = jnp.asarray(pts[:1024] + rng.normal(scale=0.1, size=(1024, 3)),
+                    jnp.float32)
+    d_ref, i_ref, f_ref = vm.nearest_neighbor_search(q)
+
+    mesh = make_mesh(8)
+    vm_sh = shard_gaussian_voxelmap(vm, mesh)
+    d, i, f = sharded_gvm_nn(vm_sh, q, mesh)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f_ref))
+    fm = np.asarray(f_ref)
+    np.testing.assert_allclose(np.asarray(d)[fm], np.asarray(d_ref)[fm], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i)[fm], np.asarray(i_ref)[fm])
+
+
+def test_sharded_ivm_matches_single(rng):
+    cloud, pts = _cloud(rng, n=3000)
+    vm = IncrementalVoxelMap.empty(1.0, capacity=8192, num_offsets=7)
+    vm = vm.insert(cloud)
+    q = jnp.asarray(pts[:512] + rng.normal(scale=0.05, size=(512, 3)),
+                    jnp.float32)
+    d_ref, i_ref, f_ref = vm.nearest_neighbor_search(q)
+
+    mesh = make_mesh(8)
+    vm_sh = shard_incremental_voxelmap(vm, mesh)
+    d, i, f = sharded_ivm_nn(vm_sh, q, mesh)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f_ref))
+    fm = np.asarray(f_ref)
+    np.testing.assert_allclose(np.asarray(d)[fm], np.asarray(d_ref)[fm], rtol=1e-6)
+    # Distances identical; indices may differ only on exact ties.
+    same = np.asarray(i)[fm] == np.asarray(i_ref)[fm]
+    assert same.mean() > 0.999
