@@ -40,6 +40,7 @@ from small_gicp_tpu.models.factors import (
     ICPFactor,
     PointToPlaneICPFactor,
     GICPFactor,
+    DistanceRejector,
 )
 from small_gicp_tpu.models.voxelmap import (
     GaussianVoxelMap,
@@ -79,6 +80,7 @@ __all__ = [
     "ICPFactor",
     "PointToPlaneICPFactor",
     "GICPFactor",
+    "DistanceRejector",
     "Registration",
     "align_points",
     "GaussianVoxelMap",

@@ -228,6 +228,19 @@ class _FactorBase:
         return H_i, b_i, e_i, corr.mask
 
 
+class DistanceRejector:
+    """Correspondence rejector (registration/rejector.hpp:19-28): mask out
+    pairs with squared distance above max_dist_sq. In the batched engine
+    this is just the mask computation; the class exists for API parity
+    with the reference bindings (align.cpp factors/rejector arguments)."""
+
+    def __init__(self, max_dist: float = 1.0):
+        self.max_dist_sq = max_dist * max_dist
+
+    def __call__(self, sq_dists: jax.Array) -> jax.Array:
+        return sq_dists <= self.max_dist_sq
+
+
 class ICPFactor(_FactorBase):
     """Point-to-point (factors/icp_factor.hpp:14-70)."""
 

@@ -69,14 +69,17 @@ def _voxelgrid_sampling_impl(points, num_points, leaf_size, max_points: int):
 
 
 def voxelgrid_sampling(
-    cloud: PointCloud,
+    cloud,
     leaf_size: float,
     max_points: Optional[int] = None,
+    num_threads: int = 1,
 ) -> PointCloud:
     """Exact-mean voxelgrid downsampling.
 
     Equivalent of the reference `voxelgrid_sampling` family; deterministic
     (matches the *serial* reference semantics, downsampling.hpp:23-78).
+    Accepts a PointCloud or a raw [N,3]/[N,4] array, like the reference
+    bindings (src/python/preprocess.cpp); num_threads is parity-only.
 
     Args:
       cloud: input cloud (normals/covs are dropped, as in the reference).
@@ -85,6 +88,9 @@ def voxelgrid_sampling(
       max_points: static output capacity; defaults to the input capacity.
         If more voxels exist than capacity, the lowest-key voxels are kept.
     """
+    del num_threads  # XLA decides parallelism
+    if not isinstance(cloud, PointCloud):
+        cloud = PointCloud.from_points(cloud)
     cap = max_points if max_points is not None else cloud.capacity
     pts, n = _voxelgrid_sampling_impl(
         cloud.points, cloud.num_points, jnp.asarray(leaf_size, cloud.dtype), cap

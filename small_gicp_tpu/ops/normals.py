@@ -91,6 +91,7 @@ def estimate_normals_covariances(
     cloud: PointCloud,
     tree: Optional[KdTree] = None,
     num_neighbors: int = 20,
+    num_threads: int = 1,
 ) -> PointCloud:
     """Estimate both normals and GICP-regularized covariances.
 
@@ -98,6 +99,7 @@ def estimate_normals_covariances(
     (normal_estimation.hpp:170-173) but ignored: search is exact brute
     force over the cloud itself either way.
     """
+    del num_threads  # parity only
     normals, covs = _estimate_impl(
         cloud.points, cloud.num_points, num_neighbors, True, True
     )
@@ -108,7 +110,9 @@ def estimate_normals(
     cloud: PointCloud,
     tree: Optional[KdTree] = None,
     num_neighbors: int = 20,
+    num_threads: int = 1,
 ) -> PointCloud:
+    del num_threads  # parity only
     normals, _ = _estimate_impl(
         cloud.points, cloud.num_points, num_neighbors, True, False
     )
@@ -119,7 +123,9 @@ def estimate_covariances(
     cloud: PointCloud,
     tree: Optional[KdTree] = None,
     num_neighbors: int = 20,
+    num_threads: int = 1,
 ) -> PointCloud:
+    del num_threads  # parity only
     _, covs = _estimate_impl(
         cloud.points, cloud.num_points, num_neighbors, False, True
     )

