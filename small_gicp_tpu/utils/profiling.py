@@ -39,7 +39,7 @@ def trace(logdir: str):
 @contextlib.contextmanager
 def nan_guard(enable: bool = True):
     """Raise on NaN production inside jitted code while active."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield
