@@ -39,12 +39,21 @@ def main():
     source_raw = sgt.read_ply(os.path.join(DATA, "source.ply")).astype(dtype)
 
     # 0.25 m downsampling of the bundled pair yields ~6.2k points; pad to
-    # the next power of two — padded capacity directly scales the KNN cost.
+    # the next 512 boundary (+ a little headroom) — padded capacity
+    # directly scales the quadratic KNN cost, so don't round up to a
+    # power of two.
+    from small_gicp_tpu.ops.downsampling import voxelgrid_sampling
+
+    n_est = max(
+        int(voxelgrid_sampling(sgt.PointCloud.from_points(target_raw), 0.25).num_points),
+        int(voxelgrid_sampling(sgt.PointCloud.from_points(source_raw), 0.25).num_points),
+    )
+    max_points = (n_est + 256 + 511) // 512 * 512
     target, target_tree = sgt.preprocess_points(
-        target_raw, 0.25, num_neighbors=10, max_points=8192
+        target_raw, 0.25, num_neighbors=10, max_points=max_points
     )
     source, _ = sgt.preprocess_points(
-        source_raw, 0.25, num_neighbors=10, max_points=8192
+        source_raw, 0.25, num_neighbors=10, max_points=max_points
     )
 
     # Noise poses so each registration does real work (~10 LM iterations).
@@ -59,7 +68,9 @@ def main():
     # adds milliseconds of host round-trip per dispatch/device_get
     # (and block_until_ready can return before remote execution
     # finishes), which would otherwise swamp the per-registration time.
-    n_iters = 20
+    # The tunnel adds ~30 ms of fixed per-program-call latency, so run
+    # enough registrations per call that the fixed cost is noise.
+    n_iters = 100
 
     @jax.jit
     def run_many(init_Ts):

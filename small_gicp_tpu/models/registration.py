@@ -87,9 +87,26 @@ def _search_correspondences(
         tree = target_tree if target_tree is not None else KdTree.build(target)
         sq_dists, idx = tree.nearest_neighbor_search(transed[:, :3])
         found = jnp.ones_like(sq_dists, dtype=bool)
-        mu = target.points[idx][:, :3]
-        t_normals = target.normals[idx] if target.normals is not None else None
-        t_covs = target.covs[idx] if target.covs is not None else None
+        m = target.points.shape[0]
+        if factor_type == GICP and target.covs is not None:
+            # One fused [N,12] gather instead of separate point and cov
+            # gathers: TPU gather cost is per-row, so halving the row
+            # count halves the dominant non-NN cost of the iteration.
+            # The concat is loop-invariant (target is constant across LM
+            # iterations) and gets hoisted out of the while loop by XLA.
+            table = jnp.concatenate(
+                [target.points[:, :3], target.covs.reshape(m, 9)], axis=1
+            )
+            rows = table[idx]
+            mu = rows[:, :3]
+            t_normals = None
+            t_covs = rows[:, 3:12].reshape(-1, 3, 3)
+        else:
+            mu = target.points[idx][:, :3]
+            t_normals = (
+                target.normals[idx] if target.normals is not None else None
+            )
+            t_covs = target.covs[idx] if target.covs is not None else None
 
     mask = (
         found

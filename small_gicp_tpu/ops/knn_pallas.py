@@ -32,6 +32,42 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # python float: jnp scalars would be captured tracers
 
 
+def _nn1_kernel_vpu(t_ref, q_ref, idx_ref, dist_ref):
+    """Direct-difference distance kernel: d2 = (q-t)² on the VPU.
+
+    The matmul formulation (_nn1_kernel) runs the MXU at K=8 — 6% of the
+    systolic depth — so the distance computation is MXU-latency-bound.
+    Nine VPU ops per (query, target) pair beat that wall: dx²+dy²+dz²
+    with [BQ,1] x [1,BM] broadcasting never touches the MXU, and the
+    difference form is exact (no |q|²−2qt+|t|² cancellation), so the
+    caller needs no distance-recompute gather.
+
+    t_ref: [8, BM] target block, rows 0..2 = x,y,z (rest zero).
+    q_ref: [BQ, 8] query block, cols 0..2 = x,y,z.
+    """
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _():
+        dist_ref[:] = jnp.full_like(dist_ref, _BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    dx = q_ref[:, 0:1] - t_ref[0:1, :]
+    dy = q_ref[:, 1:2] - t_ref[1:2, :]
+    dz = q_ref[:, 2:3] - t_ref[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz  # [BQ, BM]
+
+    bq, bm = d2.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bm), 1) + mi * bm
+    tile_min = jnp.min(d2, axis=1, keepdims=True)  # [BQ, 1]
+    tile_idx = jnp.min(
+        jnp.where(d2 <= tile_min, col, jnp.int32(2**30)), axis=1, keepdims=True
+    )
+    better = tile_min < dist_ref[:]
+    dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
+    idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:])
+
+
 def _nn1_kernel(t_ref, q_ref, idx_ref, dist_ref):
     """Grid = (num_query_tiles, num_target_tiles); target axis innermost.
 
@@ -67,13 +103,16 @@ def _nn1_kernel(t_ref, q_ref, idx_ref, dist_ref):
     idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:])
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret"))
+@partial(
+    jax.jit, static_argnames=("block_q", "block_m", "interpret", "variant")
+)
 def nearest_neighbor_pallas(
     target_points: jax.Array,
     query_points: jax.Array,
-    block_q: int = 1024,
+    block_q: int = 512,
     block_m: int = 2048,
     interpret: bool = False,
+    variant: str = "vpu",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact 1-NN: ([M,4] targets, [Q,4] queries) -> (sq_dists [Q], idx [Q]).
 
@@ -81,12 +120,18 @@ def nearest_neighbor_pallas(
     rows keep them from ever winning). M and Q are padded to the block
     sizes internally. f32 only (the TPU fast path); callers with f64
     parity requirements use the XLA path in ops/knn.py.
+
+    variant: "vpu" (default) = direct-difference distances on the VPU;
+    "mxu" = |q|²−2qt+|t|² as one K=8 matmul (kept for comparison — the
+    VPU path measures ~2x faster because a K=8 matmul uses 6% of the
+    systolic depth).
     """
     m = target_points.shape[0]
     q = query_points.shape[0]
 
     # Center to keep |x|^2 small: bounds the f32 cancellation error of
-    # the distance expansion (same guard as ops/knn.py).
+    # the matmul distance expansion. (The VPU difference form doesn't
+    # need it for accuracy, but it keeps pad-row arithmetic tame.)
     finite = jnp.all(jnp.abs(target_points[:, :3]) < 1e8, axis=-1, keepdims=True)
     denom = jnp.maximum(jnp.sum(finite), 1)
     center = jnp.sum(jnp.where(finite, target_points[:, :3], 0.0), axis=0) / denom
@@ -106,24 +151,36 @@ def nearest_neighbor_pallas(
     if qp != q:
         qc = jnp.concatenate([qc, jnp.zeros((qp - q, 3), jnp.float32)], axis=0)
 
-    t = jnp.concatenate(
-        [
-            tc,
-            jnp.sum(tc * tc, axis=1, keepdims=True),
-            jnp.ones((mp, 1), jnp.float32),
-            jnp.zeros((mp, 3), jnp.float32),
-        ],
-        axis=1,
-    ).T  # [8, MP]
-    qq = jnp.concatenate(
-        [
-            -2.0 * qc,
-            jnp.ones((qp, 1), jnp.float32),
-            jnp.sum(qc * qc, axis=1, keepdims=True),
-            jnp.zeros((qp, 3), jnp.float32),
-        ],
-        axis=1,
-    )  # [QP, 8]
+    if variant == "vpu":
+        t = jnp.concatenate(
+            [tc, jnp.zeros((mp, 5), jnp.float32)], axis=1
+        ).T  # [8, MP] rows x,y,z,0...
+        qq = jnp.concatenate(
+            [qc, jnp.zeros((qp, 5), jnp.float32)], axis=1
+        )  # [QP, 8] cols x,y,z,0...
+        kernel = _nn1_kernel_vpu
+    elif variant == "mxu":
+        t = jnp.concatenate(
+            [
+                tc,
+                jnp.sum(tc * tc, axis=1, keepdims=True),
+                jnp.ones((mp, 1), jnp.float32),
+                jnp.zeros((mp, 3), jnp.float32),
+            ],
+            axis=1,
+        ).T  # [8, MP]
+        qq = jnp.concatenate(
+            [
+                -2.0 * qc,
+                jnp.ones((qp, 1), jnp.float32),
+                jnp.sum(qc * qc, axis=1, keepdims=True),
+                jnp.zeros((qp, 3), jnp.float32),
+            ],
+            axis=1,
+        )  # [QP, 8]
+        kernel = _nn1_kernel
+    else:
+        raise ValueError(f"unknown variant {variant!r} (use 'vpu' or 'mxu')")
 
     grid = (qp // block_q, mp // block_m)
     # Mosaic rejects kernels traced in x64 mode (index arithmetic comes
@@ -131,7 +188,7 @@ def nearest_neighbor_pallas(
     # pallas_call with x64 off regardless of the global setting.
     with jax.enable_x64(False):
         idx, _dist = pl.pallas_call(
-            _nn1_kernel,
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -157,7 +214,12 @@ def nearest_neighbor_pallas(
         )(t, qq)
 
     idx = jnp.minimum(idx[:q, 0], m - 1)
-    # Exact squared distance via gather (see module docstring).
-    diff = query_points[:, :3] - target_points[idx, :3]
-    sq = jnp.sum(diff * diff, axis=-1)
+    if variant == "vpu":
+        # The difference-form distance is already exact.
+        sq = _dist[:q, 0]
+    else:
+        # Exact squared distance via gather (the matmul expansion's f32
+        # cancellation error must not leak into the rejector threshold).
+        diff = query_points[:, :3] - target_points[idx, :3]
+        sq = jnp.sum(diff * diff, axis=-1)
     return sq.astype(query_points.dtype), idx
