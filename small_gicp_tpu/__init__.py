@@ -21,6 +21,16 @@ import jax as _jax
 # enabling x64 here does not change any float math in the library.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to ONE bf16 pass (8-bit mantissa). Geometry math
+# cannot survive that: R·C·Rᵀ noise (~4e-3 on unit entries) makes the
+# plane-regularized GICP covariance sums (min eigenvalue 2e-3) go
+# indefinite, their 3x3 inverses explode, and the optimizer's Hessian
+# loses the signal that drives the convergence test. Force full-f32
+# dot products everywhere; the critical einsums also pass an explicit
+# Precision.HIGHEST so library math stays correct even if an embedding
+# application later overrides this global.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.utils.lie import se3_exp, so3_exp, skew
 from small_gicp_tpu.utils.io import read_ply, write_ply, read_kitti_bin

@@ -40,6 +40,10 @@ from flax import struct
 
 from small_gicp_tpu.utils.lie import skew
 
+# Full-f32 dot products: geometry math does not survive the TPU default
+# of one-pass bf16 matmuls (see package __init__).
+_HI = jax.lax.Precision.HIGHEST
+
 ICP = "icp"
 PLANE_ICP = "plane_icp"
 GICP = "gicp"
@@ -89,7 +93,7 @@ def make_weights(
         if source_covs is None or target_covs is None:
             raise ValueError("GICP requires source and target covariances")
         R = T[:3, :3]
-        rcr = target_covs + jnp.einsum("ij,njk,lk->nil", R, source_covs, R)
+        rcr = target_covs + jnp.einsum("ij,njk,lk->nil", R, source_covs, R, precision=_HI)
         return inv3x3(rcr)
     raise ValueError(f"unknown factor type {factor_type!r}")
 
@@ -111,11 +115,30 @@ def robust_weight(kernel: Optional[str], c, e: jax.Array) -> jax.Array:
     raise ValueError(f"unknown robust kernel {kernel!r}")
 
 
+def _error_accum_dtype(dtype):
+    """Accumulation dtype for total-error sums.
+
+    The reference accumulates e (and H, b) in f64 everywhere
+    (reduction.hpp uses double). On TPU the hot path stores f32, but the
+    LM accept test `new_e <= e` (optimizer.hpp:121) compares two sums
+    over N points whose f32 accumulation noise (~sqrt(N)·eps·e) swamps
+    the real error change near convergence — trials get rejected by
+    noise and the optimizer aborts early. Summing per-point f32 errors
+    into f64 (one emulated-f64 reduction per call, negligible) restores
+    the reference's decision precision.
+    """
+    import jax as _jax
+
+    if dtype == jnp.float32 and _jax.config.jax_enable_x64:
+        return jnp.float64
+    return dtype
+
+
 def geometric_jacobian(T: jax.Array, source_xyz: jax.Array) -> jax.Array:
     """[N,3,6] J = [R·skew(p) | −R], d(residual)/d(twist) at T
     (gicp_factor.hpp:64-66; twist is [rx ry rz tx ty tz])."""
     R = T[:3, :3]
-    Jr = jnp.einsum("ij,njk->nik", R, skew(source_xyz))  # [N,3,3]
+    Jr = jnp.einsum("ij,njk->nik", R, skew(source_xyz), precision=_HI)  # [N,3,3]
     Jt = jnp.broadcast_to(-R, (source_xyz.shape[0], 3, 3))
     return jnp.concatenate([Jr, Jt], axis=-1)
 
@@ -135,20 +158,20 @@ def linearize(
     matmul on the MXU.
     """
     n = source_points.shape[0]
-    transed = source_points @ T.T  # [N,4]
+    transed = jnp.einsum("na,ba->nb", source_points, T, precision=_HI)  # [N,4]
     r = corr.target_mu - transed[:, :3]  # [N,3]
     J = geometric_jacobian(T, source_points[:, :3])  # [N,3,6]
 
-    Wr = jnp.einsum("nij,nj->ni", corr.W, r)  # [N,3]
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r, precision=_HI)  # [N,3]
     e_i = 0.5 * jnp.sum(r * Wr, axis=-1)  # [N]
     w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
 
-    WJ = jnp.einsum("nij,njk->nik", corr.W, J)  # [N,3,6]
+    WJ = jnp.einsum("nij,njk->nik", corr.W, J, precision=_HI)  # [N,3,6]
     WJw = WJ * w[:, None, None]
     # H = Σ JᵀWJ as one [6,3N]·[3N,6] contraction (MXU-friendly).
-    H = jnp.einsum("nij,nik->jk", J, WJw)
-    b = jnp.einsum("nij,ni->j", J, Wr * w[:, None])
-    e = jnp.sum(e_i * w)
+    H = jnp.einsum("nij,nik->jk", J, WJw, precision=_HI)
+    b = jnp.einsum("nij,ni->j", J, Wr * w[:, None], precision=_HI)
+    e = jnp.sum((e_i * w).astype(_error_accum_dtype(r.dtype)))
     return H, b, e
 
 
@@ -161,12 +184,12 @@ def error(
 ) -> jax.Array:
     """Total error at T with frozen correspondences (reduction error path,
     reduction.hpp:44-62; per-factor error gicp_factor.hpp:81-89)."""
-    transed = source_points @ T.T
+    transed = jnp.einsum("na,ba->nb", source_points, T, precision=_HI)
     r = corr.target_mu - transed[:, :3]
-    Wr = jnp.einsum("nij,nj->ni", corr.W, r)
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r, precision=_HI)
     e_i = 0.5 * jnp.sum(r * Wr, axis=-1)
     w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
-    return jnp.sum(e_i * w)
+    return jnp.sum((e_i * w).astype(_error_accum_dtype(r.dtype)))
 
 
 def linearize_per_point(
@@ -182,15 +205,15 @@ def linearize_per_point(
     bindings (src/python/factors.cpp:44-224: ICPFactor/GICPFactor etc.
     with a per-point linearize); summing over i reproduces linearize().
     """
-    transed = source_points @ T.T
+    transed = jnp.einsum("na,ba->nb", source_points, T, precision=_HI)
     r = corr.target_mu - transed[:, :3]
     J = geometric_jacobian(T, source_points[:, :3])
-    Wr = jnp.einsum("nij,nj->ni", corr.W, r)
+    Wr = jnp.einsum("nij,nj->ni", corr.W, r, precision=_HI)
     e_i = 0.5 * jnp.sum(r * Wr, axis=-1)
     w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
-    WJ = jnp.einsum("nij,njk->nik", corr.W, J)
-    H_i = jnp.einsum("nij,nik->njk", J, WJ) * w[:, None, None]
-    b_i = jnp.einsum("nij,ni->nj", J, Wr) * w[:, None]
+    WJ = jnp.einsum("nij,njk->nik", corr.W, J, precision=_HI)
+    H_i = jnp.einsum("nij,nik->njk", J, WJ, precision=_HI) * w[:, None, None]
+    b_i = jnp.einsum("nij,ni->nj", J, Wr, precision=_HI) * w[:, None]
     return H_i, b_i, e_i * w
 
 
@@ -275,9 +298,9 @@ def error_multi(
     accept/reject semantics). Keeps the optimizer latency-bound chains of
     tiny ops off the TPU's critical path.
     """
-    transed = jnp.einsum("kab,nb->kna", Ts, source_points)  # [K,N,4]
+    transed = jnp.einsum("kab,nb->kna", Ts, source_points, precision=_HI)  # [K,N,4]
     r = corr.target_mu[None, :, :] - transed[..., :3]  # [K,N,3]
-    Wr = jnp.einsum("nij,knj->kni", corr.W, r)
+    Wr = jnp.einsum("nij,knj->kni", corr.W, r, precision=_HI)
     e_i = 0.5 * jnp.sum(r * Wr, axis=-1)  # [K,N]
     w = robust_weight(robust_kernel, robust_c, e_i) * corr.mask.astype(r.dtype)
-    return jnp.sum(e_i * w, axis=-1)
+    return jnp.sum((e_i * w).astype(_error_accum_dtype(r.dtype)), axis=-1)

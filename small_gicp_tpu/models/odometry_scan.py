@@ -160,6 +160,58 @@ class JitOdometry:
         self.carry = (jnp.eye(4, dtype=dtype), vm, jnp.asarray(True))
         self.poses = []
 
+    def preload(self, frames) -> Tuple[jax.Array, jax.Array]:
+        """Stack+pad [N,3] scans on the host and transfer them to the
+        device ONCE, padded to a whole number of chunks.
+
+        Returns (frames_dev [F',N,4], counts_dev [F']) for
+        `feed_preloaded`. This is the analog of the reference benchmark
+        preloading the KITTI dataset into RAM before timing
+        (src/benchmark/benchmark_odom.* reads all scans first): per-scan
+        timing should measure the pipeline, not the host link.
+        """
+        p = self.params
+        fc = self.chunk_frames
+        f_pad = (len(frames) + fc - 1) // fc * fc
+        stacked = np.full((f_pad, p.max_scan_points, 4), PAD_SENTINEL, p.dtype)
+        stacked[:, :, 3] = 0.0
+        counts = np.zeros((f_pad,), np.int32)
+        for i, f in enumerate(frames):
+            f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
+            stacked[i, : len(f), :3] = f
+            stacked[i, : len(f), 3] = 1.0
+            counts[i] = len(f)
+        return jax.device_put(jnp.asarray(stacked)), jax.device_put(
+            jnp.asarray(counts)
+        )
+
+    def feed_preloaded(self, frames_dev: jax.Array, counts_dev: jax.Array,
+                       n_real: Optional[int] = None) -> np.ndarray:
+        """Run the odometry loop over device-resident frames (see
+        `preload`); returns [n_real,4,4] poses. Padded tail frames have
+        zero points and are exact no-ops."""
+        p = self.params
+        fc = self.chunk_frames
+        f_pad = frames_dev.shape[0]
+        out = []
+        for start in range(0, f_pad, fc):
+            self.carry, poses = odometry_scan(
+                self.carry,
+                jax.lax.dynamic_slice_in_dim(frames_dev, start, fc),
+                jax.lax.dynamic_slice_in_dim(counts_dev, start, fc),
+                downsampling_resolution=p.downsampling_resolution,
+                max_correspondence_distance=p.max_correspondence_distance,
+                max_downsampled=p.max_downsampled,
+                num_neighbors=p.num_neighbors,
+                covariance_mode=self.covariance_mode,
+            )
+            out.append(poses)
+        poses = np.concatenate([np.asarray(b) for b in out])
+        if n_real is not None:
+            poses = poses[:n_real]
+        self.poses.extend(poses)
+        return poses
+
     def feed(self, frames) -> np.ndarray:
         """Process [N,3] scans; returns their [F,4,4] poses."""
         p = self.params

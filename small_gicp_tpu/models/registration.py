@@ -68,7 +68,8 @@ def _search_correspondences(
     max_dist_sq,
 ) -> Correspondences:
     """NN of transformed source points in the target + weight matrices."""
-    transed = source_points @ T.T  # [N,4]
+    transed = jnp.einsum("na,ba->nb", source_points, T,
+                         precision=jax.lax.Precision.HIGHEST)  # [N,4]
     n = source_points.shape[0]
 
     if isinstance(target, GaussianVoxelMap):
@@ -207,10 +208,12 @@ def align_impl(
         )
 
     zero6 = jnp.zeros((6,), dtype)
+    from small_gicp_tpu.models.factors import _error_accum_dtype
+
     init_state = _OptState(
         T=init_T,
         lam=jnp.asarray(init_lambda, dtype),
-        last_e=jnp.asarray(0.0, dtype),
+        last_e=jnp.asarray(0.0, _error_accum_dtype(dtype)),
         H=jnp.zeros((6, 6), dtype),
         b=zero6,
         iterations=jnp.asarray(0, jnp.int32),
@@ -282,7 +285,8 @@ def align_impl(
                 K, dtype=dtype
             )
             deltas = jax.vmap(lambda l: solve6x6(H, -b, l))(lambdas)  # [K,6]
-            Ts = jnp.einsum("ab,kbc->kac", s.T, jax.vmap(se3_exp)(deltas))
+            Ts = jnp.einsum("ab,kbc->kac", s.T, jax.vmap(se3_exp)(deltas),
+                               precision=jax.lax.Precision.HIGHEST)
             errs = err_multi(corr, Ts)  # [K]
             ok = errs <= e0
             accepted = jnp.any(ok)

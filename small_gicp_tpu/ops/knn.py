@@ -96,7 +96,8 @@ def brute_force_knn(
     def tile_fn(q_blk):
         d2 = (
             jnp.sum(q_blk * q_blk, axis=-1, keepdims=True)
-            - 2.0 * q_blk @ t.T
+            - 2.0 * jnp.einsum("qa,ma->qm", q_blk, t,
+                               precision=jax.lax.Precision.HIGHEST)
             + t_sq[None, :]
         )
         d2 = jnp.maximum(d2, 0.0)
@@ -139,7 +140,14 @@ class KdTree:
         single = query_xyz.ndim == 1
         if single:
             query_xyz = query_xyz[None, :]
-        d, i = brute_force_knn(self.points[:, :3], query_xyz[:, :3], k, block)
+        if _use_pallas() and self.points.dtype == jnp.float32 and 1 < k <= 64:
+            from small_gicp_tpu.ops.knn_pallas import knn_pallas
+
+            d, i = knn_pallas(self.points, query_xyz[:, :3], k)
+        else:
+            d, i = brute_force_knn(
+                self.points[:, :3], query_xyz[:, :3], k, block
+            )
         if single:
             return d[0], i[0]
         return d, i

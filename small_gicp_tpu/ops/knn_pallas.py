@@ -68,6 +68,151 @@ def _nn1_kernel_vpu(t_ref, q_ref, idx_ref, dist_ref):
     idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:])
 
 
+def _insert_sorted(run_d, run_i, m, mi):
+    """Insert one candidate (m [BQ,1], mi [BQ,1]) into a row-sorted
+    ascending top-k list (run_d/run_i [BQ,K]); returns the new lists.
+
+    Elements strictly greater than the candidate shift one lane right;
+    the candidate lands at the first such slot. Ties keep the incumbent
+    (incumbents were extracted earlier ⇒ have smaller index — matching
+    jnp.argmin/top_k tie order).
+    """
+    gt = run_d > m  # [BQ,K]; False-prefix then True-suffix (sorted rows)
+    prev_d = jnp.concatenate([jnp.full_like(run_d[:, :1], -_BIG), run_d[:, :-1]], axis=1)
+    prev_i = jnp.concatenate([run_i[:, :1], run_i[:, :-1]], axis=1)
+    # prev_gt[l] = gt[l-1]; derived from the shifted floats because
+    # Mosaic cannot concatenate i1 vregs (lane 0's -BIG sentinel makes
+    # prev_gt[0] False, matching the zero-pad a bool shift would give).
+    prev_gt = prev_d > m
+    new_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+    new_i = jnp.where(gt, jnp.where(prev_gt, prev_i, mi), run_i)
+    return new_d, new_i
+
+
+def _make_knn_kernel(k: int):
+    """Fused kNN kernel: k extraction passes over a VMEM-resident
+    distance tile, merging into a running sorted [BQ, k] top-k list.
+
+    Per (query, target) tile: d2 = (q−t)² on the VPU (see
+    _nn1_kernel_vpu), then k rounds of (min, first-argmin, mask-out).
+    The [BQ, BM] distance matrix never leaves VMEM, so HBM traffic is
+    O(Q·k + M) instead of the O(Q·M) the XLA top_k path pays — and the
+    VPU passes replace XLA's full per-row sort.
+    """
+
+    def kernel(t_ref, q_ref, idx_ref, dist_ref):
+        mi_prog = pl.program_id(1)
+
+        @pl.when(mi_prog == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, _BIG)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+
+        dx = q_ref[:, 0:1] - t_ref[0:1, :]
+        dy = q_ref[:, 1:2] - t_ref[1:2, :]
+        dz = q_ref[:, 2:3] - t_ref[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz  # [BQ, BM]
+
+        bq, bm = d2.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bm), 1) + mi_prog * bm
+
+        run_d = dist_ref[:]
+        run_i = idx_ref[:]
+        kth = run_d[:, -1:]  # current k-th best: tile values above it
+        # can never enter the list, but per-row skipping doesn't help a
+        # SIMD machine, so just run the k passes.
+        del kth
+        for _ in range(k):
+            m = jnp.min(d2, axis=1, keepdims=True)  # [BQ,1]
+            midx = jnp.min(
+                jnp.where(d2 <= m, col, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            d2 = jnp.where(col == midx, _BIG, d2)
+            run_d, run_i = _insert_sorted(run_d, run_i, m, midx)
+        dist_ref[:] = run_d
+        idx_ref[:] = run_i
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("k", "block_q", "block_m", "interpret")
+)
+def knn_pallas(
+    target_points: jax.Array,
+    query_points: jax.Array,
+    k: int,
+    block_q: int = 128,
+    block_m: int = 8192,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN: ([M,4] targets, [Q,4] queries) -> ([Q,k] d², [Q,k] idx),
+    ascending by distance with ties broken by lower index — the same
+    order as brute_force_knn / the reference KdTree (ann/kdtree.hpp).
+
+    f32 TPU fast path; k must be small (≤ 64) — the kernel does k
+    extraction passes over each VMEM distance tile.
+    """
+    if k > 64:
+        raise ValueError(f"knn_pallas supports k<=64, got {k}")
+    m = target_points.shape[0]
+    q = query_points.shape[0]
+
+    # Wide target tiles amortize the per-tile top-k merge (measured ~1.7x
+    # at 16k points), but don't let the block exceed the padded problem.
+    block_m = min(block_m, (m + 511) // 512 * 512)
+    block_q = min(block_q, (q + 63) // 64 * 64)
+
+    tc = target_points[:, :3].astype(jnp.float32)
+    qc = query_points[:, :3].astype(jnp.float32)
+    tc = jnp.clip(tc, -1.0e12, 1.0e12)
+
+    mp = (m + block_m - 1) // block_m * block_m
+    qp = (q + block_q - 1) // block_q * block_q
+    if mp != m:
+        tc = jnp.concatenate(
+            [tc, jnp.full((mp - m, 3), 1.0e12, jnp.float32)], axis=0
+        )
+    if qp != q:
+        qc = jnp.concatenate([qc, jnp.zeros((qp - q, 3), jnp.float32)], axis=0)
+
+    t = jnp.concatenate([tc, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+    qq = jnp.concatenate([qc, jnp.zeros((qp, 5), jnp.float32)], axis=1)
+
+    grid = (qp // block_q, mp // block_m)
+    with jax.enable_x64(False):
+        idx, dist = pl.pallas_call(
+            _make_knn_kernel(k),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (8, block_m), lambda qi, mi: (0, mi), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_q, 8), lambda qi, mi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (block_q, k), lambda qi, mi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_q, k), lambda qi, mi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, k), jnp.int32),
+                jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(t, qq)
+
+    idx = jnp.minimum(idx[:q], m - 1)
+    return dist[:q].astype(query_points.dtype), idx
+
+
 def _nn1_kernel(t_ref, q_ref, idx_ref, dist_ref):
     """Grid = (num_query_tiles, num_target_tiles); target axis innermost.
 

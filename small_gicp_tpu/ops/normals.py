@@ -46,7 +46,14 @@ def _estimate_impl(
     dtype = points.dtype
     xyz = points[:, :3]
 
-    sq_dists, idx = brute_force_knn(xyz, xyz, num_neighbors)
+    from small_gicp_tpu.ops.knn import _use_pallas
+
+    if _use_pallas() and dtype == jnp.float32 and 1 < num_neighbors <= 64:
+        from small_gicp_tpu.ops.knn_pallas import knn_pallas
+
+        sq_dists, idx = knn_pallas(points, xyz, num_neighbors)
+    else:
+        sq_dists, idx = brute_force_knn(xyz, xyz, num_neighbors)
     neighbor_valid = sq_dists < _VALID_NEIGHBOR_SQ_DIST  # [N,k]
     w = neighbor_valid.astype(dtype)
     counts = jnp.sum(w, axis=-1)  # [N]
@@ -59,7 +66,8 @@ def _estimate_impl(
     neigh = jnp.where(neighbor_valid[..., None], neigh, 0.0)
     safe_counts = jnp.maximum(counts, 1.0)
     mean = jnp.sum(neigh, axis=1) / safe_counts[:, None]  # [N,3]
-    sum_cross = jnp.einsum("nkd,nke->nde", neigh, neigh)  # [N,3,3]
+    sum_cross = jnp.einsum("nkd,nke->nde", neigh, neigh,
+                          precision=jax.lax.Precision.HIGHEST)  # [N,3,3]
     cov = sum_cross / safe_counts[:, None, None] - mean[:, :, None] * mean[:, None, :]
 
     _, eigvecs = eigh3x3(cov)
@@ -80,7 +88,8 @@ def _estimate_impl(
         )
     if need_covs:
         values = jnp.asarray([1e-3, 1.0, 1.0], dtype)
-        reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs)
+        reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs,
+                         precision=jax.lax.Precision.HIGHEST)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
         covs = jnp.where(point_valid[:, None, None], reg, eye)
 

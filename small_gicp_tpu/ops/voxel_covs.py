@@ -106,8 +106,8 @@ def voxelgrid_sampling_with_covs_impl(
     hit = (vox_keys[pos] == cand) & (cand != INVALID_KEY) & out_valid[:, None]
     hw = hit.astype(dtype)
 
-    nb_sums = jnp.einsum("mk,mki->mi", hw, sums[pos])  # [m,4]
-    nb_outer = jnp.einsum("mk,mkij->mij", hw, outer[pos])  # [m,3,3]
+    nb_sums = jnp.einsum("mk,mki->mi", hw, sums[pos], precision=jax.lax.Precision.HIGHEST)  # [m,4]
+    nb_outer = jnp.einsum("mk,mkij->mij", hw, outer[pos], precision=jax.lax.Precision.HIGHEST)  # [m,3,3]
     nb_count = nb_sums[:, 3]
     safe = jnp.maximum(nb_count, 1.0)
     mu = nb_sums[:, :3] / safe[:, None]
@@ -118,7 +118,8 @@ def voxelgrid_sampling_with_covs_impl(
 
     # GICP plane regularization (normal_estimation.hpp:40-45).
     values = jnp.asarray([1e-3, 1.0, 1.0], dtype)
-    reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs)
+    reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs,
+                     precision=jax.lax.Precision.HIGHEST)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m, 3, 3))
     out_covs = jnp.where(enough[:, None, None], reg, eye)
 

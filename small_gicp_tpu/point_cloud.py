@@ -159,10 +159,12 @@ def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
     Padding rows have w=0, so the translation is not applied and the
     sentinel coordinate survives (stays "far away").
     """
-    return points @ T.T
+    return jnp.einsum("na,ba->nb", points, T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def transform_covs(T: jax.Array, covs: jax.Array) -> jax.Array:
     """R C Rᵀ for [N,3,3] covariances (reference: gicp_factor.hpp:59)."""
     R = T[:3, :3]
-    return jnp.einsum("ij,njk,lk->nil", R, covs, R)
+    return jnp.einsum("ij,njk,lk->nil", R, covs, R,
+                      precision=jax.lax.Precision.HIGHEST)

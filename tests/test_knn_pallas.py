@@ -66,3 +66,57 @@ def test_pallas_nn_far_from_origin(rng):
     )
     d_ref, i_ref = brute_force_knn_numpy(tgt.astype(np.float64), qry.astype(np.float64), 1)
     np.testing.assert_array_equal(np.asarray(i), i_ref[:, 0])
+
+
+@pytest.mark.parametrize("k", [2, 5, 20])
+def test_pallas_knn_matches_bruteforce(rng, k):
+    tgt = rng.uniform(-50, 50, (700, 3)).astype(np.float32)
+    qry = rng.uniform(-50, 50, (300, 3)).astype(np.float32)
+    t4 = _pad4(tgt, 768)
+    q4 = _pad4(qry, 300)
+
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas
+
+    d, i = knn_pallas(
+        jnp.asarray(t4), jnp.asarray(q4), k, block_q=128, block_m=256,
+        interpret=True,
+    )
+    d_ref, i_ref = brute_force_knn_numpy(
+        tgt.astype(np.float64), qry.astype(np.float64), k
+    )
+    np.testing.assert_array_equal(np.asarray(i), i_ref)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_knn_duplicates_tie_order(rng):
+    base = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+    tgt = np.concatenate([base, base], axis=0)  # duplicate at i and i+64
+    qry = base
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas
+
+    d, i = knn_pallas(
+        jnp.asarray(_pad4(tgt, 128)), jnp.asarray(_pad4(qry, 64)),
+        2, block_q=64, block_m=64, interpret=True,
+    )
+    i = np.asarray(i)
+    # exact duplicates: neighbor 0 is the lower index, neighbor 1 the copy
+    np.testing.assert_array_equal(i[:, 0], np.arange(64))
+    np.testing.assert_array_equal(i[:, 1], np.arange(64) + 64)
+
+
+def test_pallas_knn_small_cloud_padding(rng):
+    """k larger than the real cloud: real points come first, pads carry
+    sentinel-sized distances (same contract as brute_force_knn)."""
+    tgt = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+    qry = tgt
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas
+
+    d, i = knn_pallas(
+        jnp.asarray(_pad4(tgt, 8)), jnp.asarray(_pad4(qry, 8)),
+        5, block_q=8, block_m=8, interpret=True,
+    )
+    d = np.asarray(d)[:3]
+    i = np.asarray(i)[:3]
+    assert np.all(d[:, :3] < 100.0)
+    assert np.all(d[:, 3:] > 1e16)
+    np.testing.assert_array_equal(i[:, 0], np.arange(3))

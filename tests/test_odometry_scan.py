@@ -61,3 +61,14 @@ def test_jit_matches_python_engine():
     # Same math modulo the python engine's separate jit programs; poses
     # should agree tightly.
     np.testing.assert_allclose(jit_poses[-1], py_poses[-1], atol=1e-3)
+
+
+def test_preloaded_matches_feed():
+    frames = _frames(6)
+    a = JitOdometry(PARAMS)
+    poses_a = a.feed(frames)
+    b = JitOdometry(PARAMS, chunk_frames=4)
+    fd, cd = b.preload(frames)
+    poses_b = b.feed_preloaded(fd, cd, n_real=len(frames))
+    assert poses_b.shape == (6, 4, 4)
+    np.testing.assert_allclose(poses_a, poses_b, rtol=1e-5, atol=1e-6)
