@@ -106,6 +106,7 @@ def align(
             rotation_eps=rotation_eps,
             translation_eps=translation_eps,
             max_correspondence_distance=1.0,
+            verbose=verbose,
         )
         return reg.align(target, _as_cloud(source), None, init_T_target_source)
 
@@ -135,6 +136,7 @@ def align(
                 max_iterations=max_iterations,
                 rotation_eps=rotation_eps,
                 translation_eps=translation_eps,
+                verbose=verbose,
             )
 
     if registration_type == "vgicp":
@@ -147,6 +149,7 @@ def align(
             max_iterations=max_iterations,
             rotation_eps=rotation_eps,
             translation_eps=translation_eps,
+            verbose=verbose,
         )
 
     reg = Registration(
@@ -155,6 +158,7 @@ def align(
         rotation_eps=rotation_eps,
         translation_eps=translation_eps,
         max_iterations=max_iterations,
+        verbose=verbose,
     )
     if target_tree is None:
         target_tree = KdTree.build(target_cloud)

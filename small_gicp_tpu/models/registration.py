@@ -149,6 +149,7 @@ def _converged(delta, rotation_eps, translation_eps):
         "robust_kernel",
         "max_iterations",
         "max_inner_iterations",
+        "verbose",
     ),
 )
 def align_impl(
@@ -170,8 +171,15 @@ def align_impl(
     gn_lambda: float = 1e-6,
     dof_mask: Optional[jax.Array] = None,
     dof_lambda: float = 1e9,
+    verbose: bool = False,
 ) -> RegistrationResult:
-    """Jitted registration. See module docstring for semantics."""
+    """Jitted registration. See module docstring for semantics.
+
+    verbose=True prints one line per optimizer iteration
+    (iter / error / lambda / |dt| / |dr|, like optimizer.hpp:48-49 and
+    :116-118) through jax.debug.print — it works inside the jitted loop
+    and under the device tunnel, at the cost of host sync per line.
+    """
     dtype = source.points.dtype
     init_T = jnp.asarray(init_T, dtype)
     max_dist_sq = jnp.asarray(max_dist_sq, dtype)
@@ -249,6 +257,13 @@ def align_impl(
             # GN applies the update even on the converging iteration
             # (optimizer.hpp:52-53).
             T_new = s.T @ se3_exp(delta)
+            if verbose:
+                jax.debug.print(
+                    "iter={i} e={e} lambda={l} dr={dr} dt={dt}",
+                    i=s.i, e=e, l=jnp.asarray(gn_lambda, dtype),
+                    dr=jnp.linalg.norm(delta[:3]),
+                    dt=jnp.linalg.norm(delta[3:]),
+                )
             new = s.replace(
                 T=T_new,
                 H=H,
@@ -302,6 +317,13 @@ def align_impl(
                 s.lam * jnp.asarray(lambda_factor, dtype) ** K,
             )
             conv = accepted & _converged(delta_f, rot_eps, trans_eps)
+            if verbose:
+                jax.debug.print(
+                    "iter={i} e={e} new_e={ne} lambda={l} dr={dr} dt={dt}",
+                    i=s.i, e=e0, ne=e_f, l=lam_f,
+                    dr=jnp.linalg.norm(delta_f[:3]),
+                    dt=jnp.linalg.norm(delta_f[3:]),
+                )
             new = s.replace(
                 T=T_f,
                 lam=lam_f,
@@ -353,6 +375,7 @@ class Registration:
         translation_eps: float = 1e-3,
         dof_rotation_mask=None,
         dof_translation_mask=None,
+        verbose: bool = False,
     ):
         if registration_type not in (ICP, PLANE_ICP, GICP, "vgicp"):
             raise ValueError(f"unknown registration type {registration_type!r}")
@@ -365,6 +388,7 @@ class Registration:
         self.max_correspondence_distance = max_correspondence_distance
         self.rotation_eps = rotation_eps
         self.translation_eps = translation_eps
+        self.verbose = verbose
         if dof_rotation_mask is not None or dof_translation_mask is not None:
             rm = [1.0, 1.0, 1.0] if dof_rotation_mask is None else list(dof_rotation_mask)
             tm = [1.0, 1.0, 1.0] if dof_translation_mask is None else list(dof_translation_mask)
@@ -400,6 +424,7 @@ class Registration:
             rotation_eps=self.rotation_eps,
             translation_eps=self.translation_eps,
             dof_mask=self.dof_mask,
+            verbose=self.verbose,
         )
 
 

@@ -131,6 +131,17 @@ class GaussianVoxelMap:
             covs = transform_covs(T, covs)
         return _gvm_insert(self, points, covs, cloud.num_points)
 
+    def set_lru(self, horizon: int = 100, clear_cycle: int = 10):
+        """Returns a map with new LRU parameters (Python-bindings parity:
+        src/python/voxelmap.cpp set_lru)."""
+        return self.replace(
+            lru_horizon=int(horizon), lru_clear_cycle=int(clear_cycle)
+        )
+
+    def size(self) -> jax.Array:
+        """Number of occupied voxels (bindings parity: voxelmap.cpp)."""
+        return self.num_voxels
+
     def nearest_neighbor_search(self, query_xyz: jax.Array):
         """Batched NN: [Q,3] → (sq_dists [Q], voxel_idx [Q], found [Q])."""
         return _gvm_nn(self, query_xyz)
@@ -433,6 +444,14 @@ class IncrementalVoxelMap:
         else:
             covs = None
         return _ivm_insert(self, points @ T.T, normals, covs, cloud.num_points)
+
+    def set_lru(self, horizon: int = 100, clear_cycle: int = 10):
+        """Returns a map with new LRU parameters (Python-bindings parity:
+        src/python/voxelmap.cpp set_lru). Static pytree fields — using
+        the returned map triggers one recompile of dependent programs."""
+        return self.replace(
+            lru_horizon=int(horizon), lru_clear_cycle=int(clear_cycle)
+        )
 
     def knn_search(self, query_xyz: jax.Array, k: int):
         """Batched kNN over the offset neighborhood
