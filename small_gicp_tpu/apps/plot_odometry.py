@@ -51,7 +51,7 @@ def main(argv=None) -> int:
 
     est = load_trajectory(args.trajectory)
     gt = load_trajectory(args.gt) if args.gt else None
-    times = np.loadtxt(args.times) if args.times else None
+    times = np.atleast_1d(np.loadtxt(args.times)) if args.times else None
 
     ncols = 2 if times is not None else 1
     fig, axes = plt.subplots(1, ncols, figsize=(6.4 * ncols, 5.4))

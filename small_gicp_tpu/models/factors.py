@@ -127,9 +127,7 @@ def _error_accum_dtype(dtype):
     into f64 (one emulated-f64 reduction per call, negligible) restores
     the reference's decision precision.
     """
-    import jax as _jax
-
-    if dtype == jnp.float32 and _jax.config.jax_enable_x64:
+    if dtype == jnp.float32 and jax.config.jax_enable_x64:
         return jnp.float64
     return dtype
 

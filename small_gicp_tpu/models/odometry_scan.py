@@ -160,6 +160,36 @@ class JitOdometry:
         self.carry = (jnp.eye(4, dtype=dtype), vm, jnp.asarray(True))
         self.poses = []
 
+    def _stack_frames(self, frames, n_slots: int):
+        """Host-side stack+pad of [N,3] scans into ([n_slots,N,4] padded
+        homogeneous frames, [n_slots] counts)."""
+        p = self.params
+        stacked = np.full((n_slots, p.max_scan_points, 4), PAD_SENTINEL, p.dtype)
+        stacked[:, :, 3] = 0.0
+        counts = np.zeros((n_slots,), np.int32)
+        for i, f in enumerate(frames):
+            f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
+            stacked[i, : len(f), :3] = f
+            stacked[i, : len(f), 3] = 1.0
+            counts[i] = len(f)
+        return stacked, counts
+
+    def _run_chunk(self, frames_dev, counts_dev):
+        # The voxelmap pytree type in `carry` selects gicp-model vs
+        # vgicp-model behavior (align_impl dispatches on target type).
+        p = self.params
+        self.carry, poses = odometry_scan(
+            self.carry,
+            frames_dev,
+            counts_dev,
+            downsampling_resolution=p.downsampling_resolution,
+            max_correspondence_distance=p.max_correspondence_distance,
+            max_downsampled=p.max_downsampled,
+            num_neighbors=p.num_neighbors,
+            covariance_mode=self.covariance_mode,
+        )
+        return poses
+
     def preload(self, frames) -> Tuple[jax.Array, jax.Array]:
         """Stack+pad [N,3] scans on the host and transfer them to the
         device ONCE, padded to a whole number of chunks.
@@ -170,77 +200,47 @@ class JitOdometry:
         (src/benchmark/benchmark_odom.* reads all scans first): per-scan
         timing should measure the pipeline, not the host link.
         """
-        p = self.params
         fc = self.chunk_frames
         f_pad = (len(frames) + fc - 1) // fc * fc
-        stacked = np.full((f_pad, p.max_scan_points, 4), PAD_SENTINEL, p.dtype)
-        stacked[:, :, 3] = 0.0
-        counts = np.zeros((f_pad,), np.int32)
-        for i, f in enumerate(frames):
-            f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
-            stacked[i, : len(f), :3] = f
-            stacked[i, : len(f), 3] = 1.0
-            counts[i] = len(f)
-        return jax.device_put(jnp.asarray(stacked)), jax.device_put(
-            jnp.asarray(counts)
-        )
+        stacked, counts = self._stack_frames(frames, f_pad)
+        return jnp.asarray(stacked), jnp.asarray(counts)
 
     def feed_preloaded(self, frames_dev: jax.Array, counts_dev: jax.Array,
                        n_real: Optional[int] = None) -> np.ndarray:
         """Run the odometry loop over device-resident frames (see
-        `preload`); returns [n_real,4,4] poses. Padded tail frames have
-        zero points and are exact no-ops."""
-        p = self.params
+        `preload`); returns the real frames' [F,4,4] poses. Padded tail
+        frames have zero points and are exact no-ops; by default they
+        are trimmed by dropping trailing zero-count entries (pass
+        n_real explicitly if trailing real frames can be empty)."""
         fc = self.chunk_frames
         f_pad = frames_dev.shape[0]
+        if n_real is None:
+            counts_host = np.asarray(counts_dev)
+            nz = np.nonzero(counts_host > 0)[0]
+            n_real = int(nz[-1]) + 1 if nz.size else 0
         out = []
         for start in range(0, f_pad, fc):
-            self.carry, poses = odometry_scan(
-                self.carry,
+            out.append(self._run_chunk(
                 jax.lax.dynamic_slice_in_dim(frames_dev, start, fc),
                 jax.lax.dynamic_slice_in_dim(counts_dev, start, fc),
-                downsampling_resolution=p.downsampling_resolution,
-                max_correspondence_distance=p.max_correspondence_distance,
-                max_downsampled=p.max_downsampled,
-                num_neighbors=p.num_neighbors,
-                covariance_mode=self.covariance_mode,
-            )
-            out.append(poses)
-        poses = np.concatenate([np.asarray(b) for b in out])
-        if n_real is not None:
-            poses = poses[:n_real]
+            ))
+        if out:
+            poses = np.concatenate([np.asarray(b) for b in out])[:n_real]
+        else:
+            poses = np.zeros((0, 4, 4), self.params.dtype)
         self.poses.extend(poses)
         return poses
 
     def feed(self, frames) -> np.ndarray:
         """Process [N,3] scans; returns their [F,4,4] poses."""
-        p = self.params
         fc = self.chunk_frames
         out = []
         for start in range(0, len(frames), fc):
             block = frames[start:start + fc]
-            n_real = len(block)
-            stacked = np.full((fc, p.max_scan_points, 4), PAD_SENTINEL, p.dtype)
-            stacked[:, :, 3] = 0.0
-            counts = np.zeros((fc,), np.int32)
-            for i, f in enumerate(block):
-                f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
-                stacked[i, : len(f), :3] = f
-                stacked[i, : len(f), 3] = 1.0
-                counts[i] = len(f)
-            # The voxelmap pytree type in `carry` selects gicp-model vs
-            # vgicp-model behavior (align_impl dispatches on target type).
-            self.carry, poses = odometry_scan(
-                self.carry,
-                jnp.asarray(stacked),
-                jnp.asarray(counts),
-                downsampling_resolution=p.downsampling_resolution,
-                max_correspondence_distance=p.max_correspondence_distance,
-                max_downsampled=p.max_downsampled,
-                num_neighbors=p.num_neighbors,
-                covariance_mode=self.covariance_mode,
-            )
-            out.append(np.asarray(poses)[:n_real])
-        poses = np.concatenate(out) if out else np.zeros((0, 4, 4), p.dtype)
+            stacked, counts = self._stack_frames(block, fc)
+            poses = self._run_chunk(jnp.asarray(stacked), jnp.asarray(counts))
+            out.append(np.asarray(poses)[:len(block)])
+        poses = (np.concatenate(out) if out
+                 else np.zeros((0, 4, 4), self.params.dtype))
         self.poses.extend(poses)
         return poses

@@ -216,12 +216,10 @@ def align_impl(
         )
 
     zero6 = jnp.zeros((6,), dtype)
-    from small_gicp_tpu.models.factors import _error_accum_dtype
-
     init_state = _OptState(
         T=init_T,
         lam=jnp.asarray(init_lambda, dtype),
-        last_e=jnp.asarray(0.0, _error_accum_dtype(dtype)),
+        last_e=jnp.asarray(0.0, factors._error_accum_dtype(dtype)),
         H=jnp.zeros((6, 6), dtype),
         b=zero6,
         iterations=jnp.asarray(0, jnp.int32),

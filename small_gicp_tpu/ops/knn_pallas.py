@@ -118,10 +118,9 @@ def _make_knn_kernel(k: int):
 
         run_d = dist_ref[:]
         run_i = idx_ref[:]
-        kth = run_d[:, -1:]  # current k-th best: tile values above it
-        # can never enter the list, but per-row skipping doesn't help a
-        # SIMD machine, so just run the k passes.
-        del kth
+        # (Tile values above the current k-th best can never enter the
+        # list, but per-row skipping doesn't help a SIMD machine, so
+        # just run the k passes.)
         for _ in range(k):
             m = jnp.min(d2, axis=1, keepdims=True)  # [BQ,1]
             midx = jnp.min(

@@ -46,14 +46,11 @@ def _estimate_impl(
     dtype = points.dtype
     xyz = points[:, :3]
 
-    from small_gicp_tpu.ops.knn import _use_pallas
-
-    if _use_pallas() and dtype == jnp.float32 and 1 < num_neighbors <= 64:
-        from small_gicp_tpu.ops.knn_pallas import knn_pallas
-
-        sq_dists, idx = knn_pallas(points, xyz, num_neighbors)
-    else:
-        sq_dists, idx = brute_force_knn(xyz, xyz, num_neighbors)
+    # Route through the KdTree dispatcher so the Pallas-vs-XLA choice
+    # lives in exactly one place (ops/knn.py).
+    sq_dists, idx = KdTree(points=points, num_points=num_points).knn_search(
+        xyz, num_neighbors
+    )
     neighbor_valid = sq_dists < _VALID_NEIGHBOR_SQ_DIST  # [N,k]
     w = neighbor_valid.astype(dtype)
     counts = jnp.sum(w, axis=-1)  # [N]
