@@ -109,5 +109,48 @@ def solve6x6(H: jax.Array, b: jax.Array, damping: jax.Array) -> jax.Array:
     the XLA-friendly equivalent for the SPD damped system.
     """
     A = H + damping * jnp.eye(6, dtype=H.dtype)
-    L = jax.scipy.linalg.cho_factor(A, lower=True)
-    return jax.scipy.linalg.cho_solve(L, b)
+    return _cholesky_solve6(A, b)
+
+
+def _cholesky_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Unrolled 6x6 Cholesky solve in plain jnp.
+
+    jax.scipy's cho_factor lowers to a separate (non-fusible) Cholesky
+    kernel; for a fixed tiny system the unrolled scalar recurrence fuses
+    into the surrounding optimizer computation instead of paying two
+    extra kernel dispatches per LM iteration. Guards: a non-positive
+    pivot (indefinite H from f32 noise) is clamped to a tiny positive
+    value, which matches LDLT's behavior of producing a large-but-finite
+    step that the LM accept test then rejects.
+    """
+    n = 6
+    eps = jnp.asarray(1e-30, A.dtype)
+    # L (lower) columns built one at a time; everything static-shape.
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for kk in range(j):
+            s = s - L[j][kk] * L[j][kk]
+        diag = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = diag
+        inv_diag = 1.0 / diag
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for kk in range(j):
+                s = s - L[i][kk] * L[j][kk]
+            L[i][j] = s * inv_diag
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for kk in range(i):
+            s = s - L[i][kk] * y[kk]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for kk in range(i + 1, n):
+            s = s - L[kk][i] * x[kk]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
