@@ -74,16 +74,38 @@ def _search_correspondences(
 
     if isinstance(target, GaussianVoxelMap):
         sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
-        mu = target.means[idx][:, :3]
+        # Fused [V,12] mean+cov table → one payload gather per iteration
+        # (the concat is loop-invariant and hoisted by XLA). NOTE: fusing
+        # this INTO the NN's own [Q,K,*] gather measures 8x slower — the
+        # wide 3-D gather hits a bad XLA path — so it stays separate.
+        v = target.means.shape[0]
+        table = jnp.concatenate(
+            [target.means[:, :3], target.covs.reshape(v, 9)], axis=1
+        )
+        rows = table[idx]
+        mu = rows[:, :3]
         t_normals = None
-        t_covs = target.covs[idx]
+        t_covs = rows[:, 3:12].reshape(-1, 3, 3)
     elif isinstance(target, IncrementalVoxelMap):
         sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
-        mu = target.points_flat()[idx][:, :3]
         nf = target.normals_flat()
         cf = target.covs_flat()
-        t_normals = None if nf is None else nf[idx]
-        t_covs = None if cf is None else cf[idx]
+        pcols = [target.points_flat()[:, :3]]
+        if nf is not None:
+            pcols.append(nf)
+        if cf is not None:
+            pcols.append(cf.reshape(cf.shape[0], 9))
+        table = jnp.concatenate(pcols, axis=1)
+        rows = table[idx]
+        mu = rows[:, :3]
+        off = 3
+        t_normals = None
+        if nf is not None:
+            t_normals = rows[:, off:off + 4]
+            off += 4
+        t_covs = None
+        if cf is not None:
+            t_covs = rows[:, off:off + 9].reshape(-1, 3, 3)
     else:
         tree = target_tree if target_tree is not None else KdTree.build(target)
         sq_dists, idx = tree.nearest_neighbor_search(transed[:, :3])

@@ -146,6 +146,7 @@ class GaussianVoxelMap:
         """Batched NN: [Q,3] → (sq_dists [Q], voxel_idx [Q], found [Q])."""
         return _gvm_nn(self, query_xyz)
 
+
     # Flat-cloud views (reference traits voxel_points/voxel_covs,
     # incremental_voxelmap.hpp:255-291).
     def voxel_points(self) -> jax.Array:
@@ -279,10 +280,29 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     )
 
 
+def _key_bit_cols(keys: jax.Array, dtype) -> Tuple[jax.Array, int]:
+    """[V] int64 keys as bit-pattern columns of `dtype` (for fusing the
+    key column into a float gather table; TPU gather cost is per-row, so
+    one wide row beats separate key/payload gathers). Returns
+    ([V, n] cols, n) with n = 1 for f64, 2 for f32."""
+    if dtype == jnp.float64:
+        return jax.lax.bitcast_convert_type(keys, jnp.float64)[:, None], 1
+    return jax.lax.bitcast_convert_type(keys, jnp.float32), 2
+
+
+def _bits_to_key(bits: jax.Array) -> jax.Array:
+    """Bit-pattern columns ([...,1] f64 or [...,2] f32) back to int64
+    (the f32→int64 bitcast consumes the trailing size-2 dim)."""
+    if bits.dtype == jnp.float64:
+        return jax.lax.bitcast_convert_type(bits[..., 0], jnp.int64)
+    return jax.lax.bitcast_convert_type(bits, jnp.int64)
+
+
 @jax.jit
 def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     cap = vm.capacity
     q = query_xyz.shape[0]
+    dtype = vm.means.dtype
     offsets = neighbor_offsets(vm.num_offsets)  # [K,3]
     inv_leaf = (1.0 / vm.leaf_size).astype(query_xyz.dtype)
     center = voxel_coords(query_xyz, inv_leaf)  # [Q,3]
@@ -296,9 +316,20 @@ def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
         vm.keys, cand_keys.reshape(-1), method="sort"
     ).reshape(q, -1)
     pos = jnp.clip(pos, 0, cap - 1)
-    found = (vm.keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)
 
-    mu = vm.means[pos][..., :3]  # [Q,K,3]
+    # ONE fused gather of [key bits | mean] rows; the table concat is
+    # loop-invariant across optimizer iterations and hoisted. (Folding
+    # the 9 covariance columns in as well measures 8x SLOWER — the wide
+    # [Q,K,14] gather hits a bad XLA path — so payload gathers stay in
+    # the caller.)
+    keycols, nk = _key_bit_cols(vm.keys, dtype)
+    table = jnp.concatenate([keycols, vm.means[:, :3]], axis=1)
+    rows_g = table[pos]  # [Q,K,nk+3]
+
+    gkeys = _bits_to_key(rows_g[..., 0:nk])
+    found = (gkeys == cand_keys) & (cand_keys != INVALID_KEY)
+
+    mu = rows_g[..., nk:nk + 3].astype(query_xyz.dtype)  # [Q,K,3]
     diff = mu - query_xyz[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(found, d2, _FAR)
@@ -652,10 +683,16 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
         vm.point_keys, cand_keys.reshape(-1), method="sort"
     ).reshape(q, K)
     idx = jnp.clip(start[:, :, None] + jnp.arange(C)[None, None, :], 0, P - 1)
-    gkeys = vm.point_keys[idx]  # [Q,K,C]
+
+    # One fused [P, keybits+3] gather for keys and coordinates (see
+    # _gvm_nn: per-row gather cost dominates, so fuse the columns).
+    keycols, nk = _key_bit_cols(vm.point_keys, vm.points.dtype)
+    table = jnp.concatenate([keycols, vm.points[:, :3]], axis=1)
+    rows_g = table[idx]  # [Q,K,C,nk+3]
+    gkeys = _bits_to_key(rows_g[..., 0:nk])  # [Q,K,C]
     usable = (gkeys == cand_keys[:, :, None]) & (cand_keys != INVALID_KEY)[:, :, None]
 
-    cand_pts = vm.points[idx][..., :3]  # [Q,K,C,3]
+    cand_pts = rows_g[..., nk:nk + 3]  # [Q,K,C,3]
     diff = cand_pts - query_xyz[:, None, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(usable, d2, _FAR).reshape(q, K * C)
