@@ -56,6 +56,22 @@ class RegistrationResult:
     b: jax.Array  # [6]
     error: jax.Array  # scalar
 
+    def __repr__(self):  # compact, like the reference result printout
+        try:
+            import numpy as _np
+
+            T = _np.array2string(
+                _np.asarray(self.T_target_source), precision=4,
+                suppress_small=True, prefix="  T=")
+            return (
+                f"RegistrationResult(converged={bool(self.converged)}, "
+                f"iterations={int(self.iterations)}, "
+                f"num_inliers={int(self.num_inliers)}, "
+                f"error={float(self.error):.6g},\n  T={T})"
+            )
+        except Exception:  # abstract tracers inside jit
+            return object.__repr__(self)
+
 
 def _search_correspondences(
     factor_type: str,

@@ -41,6 +41,17 @@ class PointCloud:
 
     points: jax.Array  # [N, 4]
     num_points: jax.Array  # scalar int32
+
+    def __repr__(self):
+        try:
+            return (
+                f"PointCloud(num_points={int(self.num_points)}, "
+                f"capacity={self.capacity}, "
+                f"normals={self.normals is not None}, "
+                f"covs={self.covs is not None}, dtype={self.dtype})"
+            )
+        except Exception:  # abstract tracers inside jit
+            return object.__repr__(self)
     normals: Optional[jax.Array] = None  # [N, 4]
     covs: Optional[jax.Array] = None  # [N, 3, 3]
 
