@@ -49,6 +49,8 @@ class OdometryParams:
     max_downsampled: int = 32768  # post-voxelgrid capacity
     map_capacity: int = 131072  # voxels in the model map
     dtype: str = "float32"
+    # Factor used by the scan-to-scan engines (icp / plane_icp / gicp).
+    registration_type: str = "gicp"
 
 
 class _OdometryBase:
@@ -89,11 +91,12 @@ class ScanToScanOdometry(_OdometryBase):
     each frame, T_world accumulates relative poses."""
 
     def __init__(self, params: Optional[OdometryParams] = None,
-                 registration_type: str = "gicp"):
+                 registration_type: Optional[str] = None):
         super().__init__(params)
         p = self.params
+        self.registration_type = registration_type or p.registration_type
         self.reg = Registration(
-            registration_type=registration_type,
+            registration_type=self.registration_type,
             max_correspondence_distance=p.max_correspondence_distance,
         )
         self._prev: Optional[PointCloud] = None
@@ -104,6 +107,12 @@ class ScanToScanOdometry(_OdometryBase):
         down = voxelgrid_sampling(
             cloud, p.downsampling_resolution, max_points=p.max_downsampled
         )
+        if self.registration_type == "plane_icp":
+            from small_gicp_tpu.ops.normals import estimate_normals
+
+            return estimate_normals(down, num_neighbors=p.num_neighbors)
+        if self.registration_type == "icp":
+            return down
         return estimate_covariances(down, num_neighbors=p.num_neighbors)
 
     def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
@@ -249,8 +258,17 @@ class FlowScanToScanOdometry(ScanToScanOdometry):
         return poses
 
 
+def _scan_to_scan_factory(rtype):
+    def make(params=None):
+        return ScanToScanOdometry(params, registration_type=rtype)
+
+    return make
+
+
 ENGINES = {
     "small_gicp": ScanToScanOdometry,
+    "small_icp": _scan_to_scan_factory("icp"),
+    "small_plane_icp": _scan_to_scan_factory("plane_icp"),
     "small_vgicp": VGICPScanToScanOdometry,
     "small_gicp_model": ScanToModelOdometry,
     "small_vgicp_model": VGICPModelOdometry,

@@ -92,6 +92,100 @@ def odometry_scan_step(
 
 @partial(
     jax.jit,
+    static_argnames=("max_downsampled", "num_neighbors", "registration_type"),
+)
+def odometry_scan_step_s2s(
+    carry,
+    frame_points: jax.Array,  # [N,4] padded homogeneous
+    frame_count: jax.Array,  # scalar int32
+    downsampling_resolution: float = 0.25,
+    max_correspondence_distance: float = 1.0,
+    max_downsampled: int = 8192,
+    num_neighbors: int = 20,
+    registration_type: str = "gicp",
+):
+    """One scan-to-scan step (BASELINE config 3 / the reference's
+    small_gicp engines, odometry_benchmark_small_gicp_omp.cpp:16-43):
+    identity initial guess, align current frame against the PREVIOUS
+    frame, accumulate the relative pose.
+
+    carry = (T_world [4,4], prev PointCloud, is_first). The previous
+    frame rides in the carry as a fixed-capacity cloud, so the whole
+    trajectory runs as one lax.scan program.
+    """
+    T_world, prev, is_first = carry
+    dtype = frame_points.dtype
+
+    pts, n = _voxelgrid_sampling_impl(
+        frame_points,
+        frame_count,
+        jnp.asarray(downsampling_resolution, dtype),
+        max_downsampled,
+    )
+    if registration_type == "plane_icp":
+        normals, _ = _estimate_impl(pts, n, num_neighbors, True, False)
+        cur = PointCloud(points=pts, num_points=n, normals=normals)
+    elif registration_type == "icp":
+        cur = PointCloud(points=pts, num_points=n)
+    else:
+        _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
+        cur = PointCloud(points=pts, num_points=n, covs=covs)
+
+    result = align_impl(
+        prev,
+        cur,
+        None,
+        jnp.eye(4, dtype=dtype),
+        registration_type=registration_type,
+        max_dist_sq=max_correspondence_distance**2,
+    )
+    # First frame: the "previous" cloud is empty → every correspondence
+    # masks out and the relative pose stays identity.
+    T_rel = jnp.where(is_first, jnp.eye(4, dtype=dtype), result.T_target_source)
+    T_new = T_world @ T_rel
+    # Empty (padded-tail) frames are no-ops: keep the previous cloud so a
+    # later real frame still has a target.
+    prev_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(frame_count > 0, a, b), cur, prev
+    )
+    is_first_new = jnp.where(frame_count > 0, False, is_first)
+    return (T_new, prev_new, is_first_new), T_new
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_downsampled", "num_neighbors", "registration_type"),
+)
+def odometry_scan_s2s(
+    carry,
+    frames: jax.Array,  # [F,N,4]
+    counts: jax.Array,  # [F]
+    downsampling_resolution: float = 0.25,
+    max_correspondence_distance: float = 1.0,
+    max_downsampled: int = 8192,
+    num_neighbors: int = 20,
+    registration_type: str = "gicp",
+):
+    """Scan-to-scan odometry over a chunk of frames in one program."""
+
+    def step(c, xs):
+        pts, cnt = xs
+        return odometry_scan_step_s2s(
+            c,
+            pts,
+            cnt,
+            downsampling_resolution=downsampling_resolution,
+            max_correspondence_distance=max_correspondence_distance,
+            max_downsampled=max_downsampled,
+            num_neighbors=num_neighbors,
+            registration_type=registration_type,
+        )
+
+    return jax.lax.scan(step, carry, (frames, counts))
+
+
+@partial(
+    jax.jit,
     static_argnames=("max_downsampled", "num_neighbors", "covariance_mode"),
 )
 def odometry_scan(
@@ -154,6 +248,22 @@ class JitOdometry:
             vm = GaussianVoxelMap.empty(
                 p.voxel_resolution, capacity=p.map_capacity, dtype=dtype
             )
+        elif engine in ("gicp_scan", "plane_icp_scan", "icp_scan"):
+            # Scan-to-scan: the "map" is the previous frame, carried as a
+            # fixed-capacity cloud (empty on the first frame).
+            rtype = engine[: -len("_scan")]
+            pad = jnp.asarray(
+                [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype
+            )
+            vm = PointCloud(
+                points=jnp.broadcast_to(pad, (p.max_downsampled, 4)).copy(),
+                num_points=jnp.asarray(0, jnp.int32),
+                normals=(jnp.zeros((p.max_downsampled, 4), dtype)
+                         if rtype == "plane_icp" else None),
+                covs=(jnp.zeros((p.max_downsampled, 3, 3), dtype)
+                      if rtype == "gicp" else None),
+            )
+            self.registration_type = rtype
         else:
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
@@ -175,9 +285,21 @@ class JitOdometry:
         return stacked, counts
 
     def _run_chunk(self, frames_dev, counts_dev):
+        p = self.params
+        if self.engine.endswith("_scan"):
+            self.carry, poses = odometry_scan_s2s(
+                self.carry,
+                frames_dev,
+                counts_dev,
+                downsampling_resolution=p.downsampling_resolution,
+                max_correspondence_distance=p.max_correspondence_distance,
+                max_downsampled=p.max_downsampled,
+                num_neighbors=p.num_neighbors,
+                registration_type=self.registration_type,
+            )
+            return poses
         # The voxelmap pytree type in `carry` selects gicp-model vs
         # vgicp-model behavior (align_impl dispatches on target type).
-        p = self.params
         self.carry, poses = odometry_scan(
             self.carry,
             frames_dev,

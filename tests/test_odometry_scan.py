@@ -72,3 +72,18 @@ def test_preloaded_matches_feed():
     poses_b = b.feed_preloaded(fd, cd, n_real=len(frames))
     assert poses_b.shape == (6, 4, 4)
     np.testing.assert_allclose(poses_a, poses_b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("engine,rtype", [
+    ("gicp_scan", "gicp"), ("plane_icp_scan", "plane_icp"),
+])
+def test_jit_scan_to_scan_matches_python(engine, rtype):
+    frames = _frames(4)
+    jit_odo = JitOdometry(PARAMS, engine=engine, chunk_frames=4)
+    jit_poses = jit_odo.feed(frames)
+    py_odo = create_odometry("small_gicp", OdometryParams(
+        **{**PARAMS.__dict__, "registration_type": rtype}))
+    py_poses = py_odo.estimate(frames)
+    np.testing.assert_allclose(jit_poses[-1], py_poses[-1], rtol=1e-4, atol=1e-5)
+    # and it tracks the true motion
+    assert abs(jit_poses[-1][0, 3] - 0.45) < 0.05
