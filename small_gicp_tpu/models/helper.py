@@ -126,18 +126,7 @@ def align(
             source, downsampling_resolution, num_neighbors=10,
             num_threads=num_threads, max_points=max_points,
         )
-        if registration_type == "vgicp":
-            voxelmap = create_gaussian_voxelmap(target_cloud, voxel_resolution)
-            return align(
-                voxelmap,
-                source_cloud,
-                init_T_target_source=init_T_target_source,
-                registration_type="vgicp",
-                max_iterations=max_iterations,
-                rotation_eps=rotation_eps,
-                translation_eps=translation_eps,
-                verbose=verbose,
-            )
+        # fall through to the common vgicp/point dispatch below
 
     if registration_type == "vgicp":
         voxelmap = create_gaussian_voxelmap(target_cloud, voxel_resolution)

@@ -231,7 +231,7 @@ class JitOdometry:
 
     def __init__(self, params: Optional[OdometryParams] = None,
                  engine: str = "gicp_model", chunk_frames: int = 8,
-                 covariance_mode: str = "voxel"):
+                 covariance_mode: str = "knn"):
         self.chunk_frames = chunk_frames
         self.covariance_mode = covariance_mode
         self.params = params or OdometryParams()

@@ -125,7 +125,10 @@ class GaussianVoxelMap:
         points = cloud.points
         covs = cloud.covs
         if covs is None:
-            covs = jnp.zeros((cloud.capacity, 3, 3), cloud.dtype)
+            raise ValueError(
+                "GaussianVoxelMap.insert requires a cloud with covariances "
+                "(run estimate_covariances / preprocess_points first)"
+            )
         if T is not None:
             points = points @ T.T
             covs = transform_covs(T, covs)
@@ -682,7 +685,8 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
     start = jnp.searchsorted(
         vm.point_keys, cand_keys.reshape(-1), method="sort"
     ).reshape(q, K)
-    idx = jnp.clip(start[:, :, None] + jnp.arange(C)[None, None, :], 0, P - 1)
+    raw_idx = start[:, :, None] + jnp.arange(C)[None, None, :]
+    idx = jnp.clip(raw_idx, 0, P - 1)
 
     # One fused [P, keybits+3] gather for keys and coordinates (see
     # _gvm_nn: per-row gather cost dominates, so fuse the columns).
@@ -690,7 +694,13 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
     table = jnp.concatenate([keycols, vm.points[:, :3]], axis=1)
     rows_g = table[idx]  # [Q,K,C,nk+3]
     gkeys = _bits_to_key(rows_g[..., 0:nk])  # [Q,K,C]
-    usable = (gkeys == cand_keys[:, :, None]) & (cand_keys != INVALID_KEY)[:, :, None]
+    usable = (
+        (gkeys == cand_keys[:, :, None])
+        & (cand_keys != INVALID_KEY)[:, :, None]
+        # Window rows clipped at the table end would duplicate row P-1
+        # (same key, same run, if the last run is short) — mask them.
+        & (raw_idx < P)
+    )
 
     cand_pts = rows_g[..., nk:nk + 3]  # [Q,K,C,3]
     diff = cand_pts - query_xyz[:, None, None, :]
@@ -707,10 +717,18 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
             flat_idx[rows, best].astype(jnp.int32)[:, None],
             (bd < _FAR)[:, None],
         )
-    neg, sel = jax.lax.top_k(-d2, k)
+    # At most K*C candidates exist; for larger k pad with not-found
+    # slots (the reference's knn returns however many exist).
+    kk = min(k, K * C)
+    neg, sel = jax.lax.top_k(-d2, kk)
     rows = jnp.arange(q)[:, None]
-    return (
-        -neg,
-        flat_idx[rows, sel].astype(jnp.int32),
-        (-neg) < _FAR,
-    )
+    d_out = -neg
+    i_out = flat_idx[rows, sel].astype(jnp.int32)
+    if kk < k:
+        d_out = jnp.concatenate(
+            [d_out, jnp.full((q, k - kk), _FAR, d_out.dtype)], axis=1
+        )
+        i_out = jnp.concatenate(
+            [i_out, jnp.zeros((q, k - kk), jnp.int32)], axis=1
+        )
+    return d_out, i_out, d_out < _FAR

@@ -59,10 +59,14 @@ def _voxelgrid_sampling_impl(points, num_points, leaf_size, max_points: int):
     out_n = jnp.minimum(num_voxels, max_points)
     row = jnp.arange(max_points)
     out_valid = row < out_n
-    out = jnp.where(out_valid[:, None], means[:max_points], 0.0)
+    if max_points > n:
+        # Output capacity above the input capacity: pad the means table.
+        means = jnp.concatenate(
+            [means, jnp.zeros((max_points - n, 4), dtype)], axis=0
+        )
     out = jnp.where(
         out_valid[:, None],
-        out,
+        means[:max_points],
         jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype),
     )
     return out, out_n

@@ -37,6 +37,7 @@ from small_gicp_tpu.ops.voxel_keys import (
     neighbor_offsets,
     pack_coords,
     unpack_key,
+    voxel_coords,
     voxel_keys,
 )
 from small_gicp_tpu.ops.eigh3 import eigh3x3
@@ -55,13 +56,24 @@ def voxelgrid_sampling_with_covs_impl(
     normals [max_points,4])."""
     n = points.shape[0]
     dtype = points.dtype
+    _HI = jax.lax.Precision.HIGHEST
 
-    keys = voxel_keys(points[:, :3], leaf_size)
+    inv_leaf = (jnp.asarray(1.0, dtype) / leaf_size).astype(dtype)
+    vcoords = voxel_coords(points[:, :3], inv_leaf)  # [n,3] int32
+    keys = pack_coords(vcoords)
     keys = jnp.where(jnp.arange(n) < num_points, keys, INVALID_KEY)
 
     order = jnp.argsort(keys)
     keys_s = keys[order]
     pts_s = points[order]
+    # Center each point on its OWN voxel corner before accumulating
+    # moments: raw p·pᵀ second moments are ~range² while the voxel-local
+    # covariance is ~leaf², so the uncentered E[ppᵀ]−μμᵀ form loses all
+    # signal to f32 cancellation beyond ~100 m range. The centered
+    # moments are shifted to the query voxel's corner at combine time
+    # via the parallel-axis identity with EXACT integer-offset deltas.
+    corner_s = vcoords[order].astype(dtype) * jnp.asarray(leaf_size, dtype)
+    rel_s = pts_s[:, :3] - corner_s  # [n,3], O(leaf)
 
     valid = keys_s != INVALID_KEY
     prev = jnp.concatenate([jnp.asarray([INVALID_KEY], keys_s.dtype), keys_s[:-1]])
@@ -70,31 +82,48 @@ def voxelgrid_sampling_with_covs_impl(
     num_voxels = jnp.sum(is_new).astype(jnp.int32)
     seg = jnp.where(valid, seg, n - 1)
 
-    # Per-voxel raw moments: count (w=1 column), sum, outer-product sum.
+    # Per-voxel centered moments: count, Σr, Σrrᵀ (r = p − voxel corner).
     w = valid.astype(dtype)
-    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=n)  # [n,4]
-    xyz_s = pts_s[:, :3] * w[:, None]
+    rel_w = rel_s * w[:, None]
+    sums3 = jax.ops.segment_sum(rel_w, seg, num_segments=n)  # [n,3]
+    counts_v = jax.ops.segment_sum(w, seg, num_segments=n)  # [n]
     outer = jax.ops.segment_sum(
-        jnp.einsum("ni,nj->nij", pts_s[:, :3], xyz_s), seg, num_segments=n
+        jnp.einsum("ni,nj->nij", rel_s, rel_w, precision=_HI),
+        seg,
+        num_segments=n,
     )  # [n,3,3]
     vox_keys = jax.ops.segment_max(
         jnp.where(valid, keys_s, jnp.int64(-1)), seg, num_segments=n
     )
     vox_keys = jnp.where(jnp.arange(n) < num_voxels, vox_keys, INVALID_KEY)
 
-    # Output points: voxel means (same as plain voxelgrid_sampling).
-    counts = jnp.maximum(sums[:, 3:4], 1.0)
-    means = sums / counts
-    means = means.at[:, 3].set(1.0)
+    # Output points: voxel means = corner + centered mean.
+    vox_corner = unpack_key(vox_keys).astype(dtype) * jnp.asarray(
+        leaf_size, dtype
+    )  # [n,3]
+    safe_cv = jnp.maximum(counts_v, 1.0)
+    means3 = vox_corner + sums3 / safe_cv[:, None]
+    means = jnp.concatenate([means3, jnp.ones((n, 1), dtype)], axis=1)
 
     m = max_points
+    if m > n:
+        means = jnp.concatenate([means, jnp.zeros((m - n, 4), dtype)], axis=0)
+        vox_keys_out = jnp.concatenate(
+            [vox_keys, jnp.full((m - n,), INVALID_KEY, jnp.int64)]
+        )
+    else:
+        vox_keys_out = vox_keys
     row = jnp.arange(m)
     out_valid = row < jnp.minimum(num_voxels, m)
     pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
     out_points = jnp.where(out_valid[:, None], means[:m], pad)
-    out_keys = vox_keys[:m]
+    out_keys = vox_keys_out[:m]
 
-    # 27-neighborhood moment accumulation per output voxel.
+    # 27-neighborhood moment accumulation per output voxel, combining the
+    # per-voxel centered moments with the parallel-axis shift:
+    #   Σ_k (p−c₀)    = Σ_k r + n_k·δ_k
+    #   Σ_k (p−c₀)⊗(p−c₀) = Σ rrᵀ + δ_k⊗Σr + Σr⊗δ_k + n_k·δ_k⊗δ_k
+    # with δ_k = (corner_k − corner₀) = offset_k·leaf (exact).
     coords = unpack_key(out_keys)  # [m,3]
     offs = neighbor_offsets(27)  # [27,3]
     cand = pack_coords(coords[:, None, :] + offs[None, :, :])  # [m,27]
@@ -106,11 +135,26 @@ def voxelgrid_sampling_with_covs_impl(
     hit = (vox_keys[pos] == cand) & (cand != INVALID_KEY) & out_valid[:, None]
     hw = hit.astype(dtype)
 
-    nb_sums = jnp.einsum("mk,mki->mi", hw, sums[pos], precision=jax.lax.Precision.HIGHEST)  # [m,4]
-    nb_outer = jnp.einsum("mk,mkij->mij", hw, outer[pos], precision=jax.lax.Precision.HIGHEST)  # [m,3,3]
-    nb_count = nb_sums[:, 3]
+    delta = offs.astype(dtype) * jnp.asarray(leaf_size, dtype)  # [27,3]
+    s_k = sums3[pos]  # [m,27,3]
+    n_k = counts_v[pos]  # [m,27]
+    o_k = outer[pos]  # [m,27,3,3]
+
+    hn = hw * n_k  # [m,27]
+    nb_count = jnp.sum(hn, axis=1)
+    nb_sums = (
+        jnp.einsum("mk,mki->mi", hw, s_k, precision=_HI)
+        + jnp.einsum("mk,ki->mi", hn, delta, precision=_HI)
+    )  # [m,3]
+    cross = jnp.einsum("mk,ki,mkj->mij", hw, delta, s_k, precision=_HI)
+    nb_outer = (
+        jnp.einsum("mk,mkij->mij", hw, o_k, precision=_HI)
+        + cross
+        + jnp.swapaxes(cross, -1, -2)
+        + jnp.einsum("mk,ki,kj->mij", hn, delta, delta, precision=_HI)
+    )  # [m,3,3]
     safe = jnp.maximum(nb_count, 1.0)
-    mu = nb_sums[:, :3] / safe[:, None]
+    mu = nb_sums / safe[:, None]
     cov = nb_outer / safe[:, None, None] - mu[:, :, None] * mu[:, None, :]
 
     _, eigvecs = eigh3x3(cov)

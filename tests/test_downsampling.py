@@ -98,3 +98,14 @@ def test_random_sampling_more_than_available(rng):
     cloud = PointCloud.from_points(pts, capacity=32)
     out = random_sampling(cloud, 20, jax.random.key(1))
     assert len(out) == 10
+
+
+def test_voxelgrid_max_points_exceeds_capacity(rng):
+    pts = rng.uniform(-3, 3, size=(100, 3)).astype(np.float32)
+    from small_gicp_tpu.point_cloud import PointCloud
+    cloud = PointCloud.from_points(pts)
+    down = voxelgrid_sampling(cloud, 0.5, max_points=256)
+    assert down.points.shape == (256, 4)
+    n = int(down.num_points)
+    assert 0 < n <= 100
+    assert np.all(np.abs(np.asarray(down.points[:n, :3])) < 10)

@@ -65,3 +65,43 @@ def test_registration_with_fused_covs(bundled_pair):
     rot_cos = (np.trace(T[:3, :3].T @ T_gt[:3, :3]) - 1) / 2
     assert np.degrees(np.arccos(np.clip(rot_cos, -1, 1))) < 2.5
     assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.2
+
+
+def test_voxel_covs_far_from_origin(rng):
+    """Centered-moment regression: covariances must keep the surface
+    eigenstructure for clouds hundreds of meters from the origin (raw
+    f32 second moments would lose it to cancellation)."""
+    from small_gicp_tpu.ops.voxel_covs import voxelgrid_sampling_with_covs
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    n = 4000
+    base = np.array([300.0, -250.0, 80.0], np.float32)
+    g = rng.uniform(-4, 4, size=(n, 2)).astype(np.float32)
+    pts = np.c_[g[:, 0], g[:, 1], 0.02 * rng.normal(size=n)].astype(np.float32)
+    pts += base  # a near-planar patch far from the origin
+    cloud = PointCloud.from_points(pts)
+    out = voxelgrid_sampling_with_covs(cloud, 0.5, max_points=512,
+                                       need_normals=True)
+    m = int(out.num_points)
+    assert m > 50
+    covs = np.asarray(out.covs[:m], np.float64)
+    normals = np.asarray(out.normals[:m, :3], np.float64)
+    # plane-regularized covs: eigenvalues ~ (1e-3, 1, 1)
+    ev = np.linalg.eigvalsh(covs)
+    assert np.all(ev[:, 0] > 5e-4) and np.all(ev[:, 2] < 1.5)
+    # normals must recover the plane's z axis
+    nz = np.abs(normals[:, 2])
+    valid = np.linalg.norm(normals, axis=1) > 0.5
+    assert valid.mean() > 0.8
+    assert np.quantile(nz[valid], 0.1) > 0.95
+
+
+def test_voxel_covs_max_points_exceeds_capacity(rng):
+    from small_gicp_tpu.ops.voxel_covs import voxelgrid_sampling_with_covs
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    pts = rng.uniform(-3, 3, size=(200, 3)).astype(np.float32)
+    cloud = PointCloud.from_points(pts)
+    out = voxelgrid_sampling_with_covs(cloud, 0.5, max_points=512)
+    assert out.points.shape == (512, 4)
+    assert int(out.num_points) <= 200

@@ -176,3 +176,28 @@ def test_incremental_map_normals_covs(rng):
     assert np.allclose(stored_n[valid][:, 1], -1.0, atol=1e-12)  # z → −y
     stored_c = np.asarray(vm.covs_flat())[valid]
     assert np.allclose(stored_c, np.eye(3) * 0.1, atol=1e-12)  # isotropic
+
+
+def test_ivm_knn_k_exceeds_candidates(rng):
+    """k > num_offsets*cell_capacity must pad with found=False, not crash."""
+    from small_gicp_tpu.models.voxelmap import IncrementalVoxelMap
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    pts = rng.uniform(-2, 2, size=(100, 3)).astype(np.float32)
+    vm = IncrementalVoxelMap.empty(1.0, 256)
+    vm = vm.insert(PointCloud.from_points(pts))
+    d, i, f = vm.knn_search(pts[:8], 20)
+    assert d.shape == (8, 20) and f.shape == (8, 20)
+    assert bool(f[:, 0].all())
+    assert not bool(f[:, -1].any())  # only <=10 candidates per voxel
+
+
+def test_gvm_insert_requires_covs(rng):
+    import pytest
+    from small_gicp_tpu.models.voxelmap import GaussianVoxelMap
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    pts = rng.uniform(-2, 2, size=(50, 3)).astype(np.float32)
+    vm = GaussianVoxelMap.empty(1.0, 128)
+    with pytest.raises(ValueError):
+        vm.insert(PointCloud.from_points(pts))
