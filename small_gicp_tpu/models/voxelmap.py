@@ -36,6 +36,8 @@ from small_gicp_tpu.ops.voxel_keys import (
     INVALID_KEY,
     neighbor_offsets,
     pack_coords,
+    segment_ids,
+    sort_segments,
     voxel_coords,
 )
 
@@ -173,16 +175,9 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     keys_new = jnp.where(jnp.arange(n) < num_points, keys_new, INVALID_KEY)
 
     # Segment-reduce the incoming points by voxel key.
-    order = jnp.argsort(keys_new)
-    keys_s = keys_new[order]
+    order, keys_s, valid, seg, n_new = sort_segments(keys_new)
     pts_s = points[order].astype(dtype)
     covs_s = covs[order].astype(dtype)
-    valid = keys_s != INVALID_KEY
-    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], keys_s.dtype), keys_s[:-1]])
-    is_new = (keys_s != prev) & valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    seg = jnp.where(valid, seg, n - 1)
-    n_new = jnp.sum(is_new).astype(jnp.int32)
 
     new_keys = jax.ops.segment_max(
         jnp.where(valid, keys_s, jnp.int64(-1)), seg, num_segments=n
@@ -212,14 +207,7 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     all_lru = jnp.concatenate([vm.lru, jnp.full((n,), vm.lru_counter, jnp.int32)])
 
     m = cap + n
-    order2 = jnp.argsort(all_keys)
-    k2 = all_keys[order2]
-    valid2 = k2 != INVALID_KEY
-    prev2 = jnp.concatenate([jnp.asarray([INVALID_KEY], k2.dtype), k2[:-1]])
-    is_new2 = (k2 != prev2) & valid2
-    seg2 = jnp.cumsum(is_new2.astype(jnp.int32)) - 1
-    seg2 = jnp.where(valid2, seg2, m - 1)
-    total = jnp.sum(is_new2).astype(jnp.int32)
+    order2, k2, valid2, seg2, total = sort_segments(all_keys)
 
     w2 = valid2.astype(dtype)
     merged_keys = jax.ops.segment_max(
@@ -600,11 +588,7 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
     k_s, stamp_s = sorted_ops[0], sorted_ops[1]
     payload_s = list(sorted_ops[3:])
 
-    valid = k_s != INVALID_KEY
-    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], k_s.dtype), k_s[:-1]])
-    seg_first = (k_s != prev) & valid
-    seg = jnp.cumsum(seg_first.astype(jnp.int32)) - 1
-    seg = jnp.where(valid, seg, m - 1)
+    valid, seg_first, seg, _ = segment_ids(k_s)
     pos = jnp.arange(m, dtype=jnp.int32)
 
     # Voxel LRU stamp = max over the run (new points refresh the voxel).

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud
-from small_gicp_tpu.ops.voxel_keys import INVALID_KEY, voxel_keys
+from small_gicp_tpu.ops.voxel_keys import INVALID_KEY, sort_segments, voxel_keys
 
 
 @partial(jax.jit, static_argnames=("max_points",))
@@ -37,16 +37,8 @@ def _voxelgrid_sampling_impl(points, num_points, leaf_size, max_points: int):
     # range, so they are already INVALID; this guard is belt-and-braces.
     keys = jnp.where(jnp.arange(n) < num_points, keys, INVALID_KEY)
 
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
+    order, keys_s, valid, seg_id, num_voxels = sort_segments(keys)
     pts_s = points[order]
-
-    valid = keys_s != INVALID_KEY
-    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], keys_s.dtype), keys_s[:-1]])
-    is_new = (keys_s != prev) & valid
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # -1 for leading invalids
-    num_voxels = jnp.sum(is_new).astype(jnp.int32)
-    seg_id = jnp.where(valid, seg_id, n - 1)  # dump invalids in the last slot
 
     # Segment mean. The homogeneous w=1 column sums to the per-voxel count,
     # giving the same "divide the Vector4d sum by count" as the reference

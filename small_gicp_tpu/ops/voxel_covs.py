@@ -36,6 +36,7 @@ from small_gicp_tpu.ops.voxel_keys import (
     INVALID_KEY,
     neighbor_offsets,
     pack_coords,
+    segment_ids,
     unpack_key,
     voxel_coords,
     voxel_keys,
@@ -75,12 +76,7 @@ def voxelgrid_sampling_with_covs_impl(
     corner_s = vcoords[order].astype(dtype) * jnp.asarray(leaf_size, dtype)
     rel_s = pts_s[:, :3] - corner_s  # [n,3], O(leaf)
 
-    valid = keys_s != INVALID_KEY
-    prev = jnp.concatenate([jnp.asarray([INVALID_KEY], keys_s.dtype), keys_s[:-1]])
-    is_new = (keys_s != prev) & valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    num_voxels = jnp.sum(is_new).astype(jnp.int32)
-    seg = jnp.where(valid, seg, n - 1)
+    valid, _, seg, num_voxels = segment_ids(keys_s)
 
     # Per-voxel centered moments: count, Σr, Σrrᵀ (r = p − voxel corner).
     w = valid.astype(dtype)

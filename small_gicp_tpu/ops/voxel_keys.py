@@ -84,3 +84,36 @@ def neighbor_offsets(num_offsets: int) -> jax.Array:
     else:
         raise ValueError("num_offsets must be 1, 7, or 27")
     return jnp.asarray(offs, dtype=jnp.int32)
+
+
+def segment_ids(keys_sorted: jax.Array):
+    """Segment a SORTED key array into per-voxel runs.
+
+    The canonical boundary idiom shared by downsampling, the fused
+    covariance estimator, and both voxel maps: mark the first row of
+    each run of equal valid keys, number runs by cumsum, and dump
+    invalid (INVALID_KEY) rows into the last slot N-1 so segment
+    reductions with num_segments=N ignore them.
+
+    Returns (valid [N] bool, seg_first [N] bool, seg_id [N] int32,
+    num_segments scalar int32).
+    """
+    n = keys_sorted.shape[0]
+    valid = keys_sorted != INVALID_KEY
+    prev = jnp.concatenate(
+        [jnp.asarray([INVALID_KEY], keys_sorted.dtype), keys_sorted[:-1]]
+    )
+    seg_first = (keys_sorted != prev) & valid
+    seg = jnp.cumsum(seg_first.astype(jnp.int32)) - 1
+    num = jnp.sum(seg_first).astype(jnp.int32)
+    seg = jnp.where(valid, seg, n - 1)
+    return valid, seg_first, seg, num
+
+
+def sort_segments(keys: jax.Array):
+    """argsort keys (INVALID_KEY padding sorts last) and segment the
+    result; returns (order, keys_sorted, valid, seg_id, num_segments)."""
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    valid, _, seg, num = segment_ids(keys_s)
+    return order, keys_s, valid, seg, num
