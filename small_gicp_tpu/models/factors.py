@@ -115,6 +115,13 @@ def robust_weight(kernel: Optional[str], c, e: jax.Array) -> jax.Array:
     raise ValueError(f"unknown robust kernel {kernel!r}")
 
 
+# Captured at import (the package __init__ enables x64 before this module
+# loads) so that an embedding application toggling jax_enable_x64 later
+# cannot silently revert error accumulation to f32 — the same
+# capture-at-import approach as the Precision.HIGHEST guard in __init__.
+_X64_AVAILABLE_AT_IMPORT = bool(jax.config.jax_enable_x64)
+
+
 def _error_accum_dtype(dtype):
     """Accumulation dtype for total-error sums.
 
@@ -127,7 +134,7 @@ def _error_accum_dtype(dtype):
     into f64 (one emulated-f64 reduction per call, negligible) restores
     the reference's decision precision.
     """
-    if dtype == jnp.float32 and jax.config.jax_enable_x64:
+    if dtype == jnp.float32 and _X64_AVAILABLE_AT_IMPORT:
         return jnp.float64
     return dtype
 

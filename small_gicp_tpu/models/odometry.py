@@ -20,14 +20,14 @@ Engines (reference counterparts):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud
+from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.ops.downsampling import voxelgrid_sampling
 from small_gicp_tpu.ops.normals import estimate_covariances
 from small_gicp_tpu.models.registration import Registration
@@ -250,10 +250,19 @@ class FlowScanToScanOdometry(ScanToScanOdometry):
         t_start = time.perf_counter()
         for f in frames:
             device_traj.append(self.estimate_frame(f))
+        # Results complete in dispatch order on the device stream, so the
+        # difference between consecutive block_until_ready timestamps is
+        # the REAL steady-state pipeline lap for each frame (frames behind
+        # the one being waited on keep computing). This gives the
+        # Summarizer true per-frame laps with true variance, matching the
+        # reference's per-frame stopwatch contract (benchmark_odom.hpp:54-57).
+        t_prev = t_start
+        for T in device_traj:
+            jax.block_until_ready(T)
+            t_now = time.perf_counter()
+            self.reg_times.push((t_now - t_prev) * 1e3)
+            t_prev = t_now
         poses = np.stack([np.asarray(T) for T in device_traj])
-        total = (time.perf_counter() - t_start) * 1e3
-        for _ in frames:
-            self.reg_times.push(total / max(len(frames), 1))
         self.traj = [p for p in poses]
         return poses
 

@@ -294,8 +294,10 @@ def align_impl(
             # (optimizer.hpp:52-53).
             T_new = s.T @ se3_exp(delta)
             if verbose:
+                # Fixed GN damping, not an LM schedule — label it so the
+                # log can't be misread as evolving lambda (optimizer.hpp:48).
                 jax.debug.print(
-                    "iter={i} e={e} lambda={l} dr={dr} dt={dt}",
+                    "iter={i} e={e} gn_lambda={l} dr={dr} dt={dt}",
                     i=s.i, e=e, l=jnp.asarray(gn_lambda, dtype),
                     dr=jnp.linalg.norm(delta[:3]),
                     dt=jnp.linalg.norm(delta[3:]),

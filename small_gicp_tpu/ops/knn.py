@@ -135,6 +135,10 @@ class KdTree:
 
         Covers both knn_search and batch_knn_search of the reference
         bindings (src/python/kdtree.cpp:122-213).
+
+        `block` tunes the query tiling of the XLA brute-force path only;
+        the Pallas path (TPU, f32, 1 < k <= 64) uses its own fixed VMEM
+        block sizes and ignores it.
         """
         query_xyz = jnp.asarray(query_xyz)
         single = query_xyz.ndim == 1

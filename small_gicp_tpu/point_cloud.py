@@ -41,6 +41,8 @@ class PointCloud:
 
     points: jax.Array  # [N, 4]
     num_points: jax.Array  # scalar int32
+    normals: Optional[jax.Array] = None  # [N, 4]
+    covs: Optional[jax.Array] = None  # [N, 3, 3]
 
     def __repr__(self):
         try:
@@ -52,8 +54,6 @@ class PointCloud:
             )
         except Exception:  # abstract tracers inside jit
             return object.__repr__(self)
-    normals: Optional[jax.Array] = None  # [N, 4]
-    covs: Optional[jax.Array] = None  # [N, 3, 3]
 
     @property
     def capacity(self) -> int:
