@@ -18,8 +18,13 @@ Key properties preserved from the reference:
   * global index = (voxel_id << 32 | point_id) packing
     (incremental_voxelmap.hpp:151) — for the Gaussian map point_id = 0,
     so indices here are plain voxel ids.
-  * LRU-horizon eviction for the incremental variant
-    (incremental_voxelmap.hpp:74-86) — implemented as masked re-sort.
+  * LRU-horizon eviction with the reference's exact stamp timing
+    (pre-increment stamps, post-increment eviction test,
+    incremental_voxelmap.hpp:63,70,74-86).
+
+Capacity overflow (no reference analog — its maps are unbounded hash
+tables) drops the highest-key merged rows/voxels for both map types;
+size capacities so the LRU horizon, not overflow, bounds the map.
 """
 
 from __future__ import annotations
@@ -36,8 +41,6 @@ from small_gicp_tpu.ops.voxel_keys import (
     INVALID_KEY,
     neighbor_offsets,
     pack_coords,
-    segment_ids,
-    sort_segments,
     voxel_coords,
 )
 
@@ -166,109 +169,139 @@ class GaussianVoxelMap:
 
 @jax.jit
 def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxelMap:
-    cap = vm.capacity
+    """O(scan) Gaussian-map insert: sort only the incoming scan, then
+    merge into the already-sorted voxel table.
+
+    The first implementation concatenated map+scan and re-sorted all
+    cap+n rows with full payload every insert (~22 ms at 131k capacity /
+    16k scan on a v5e chip, dominated by multi-operand sort passes and
+    segment scatters). TPU scatters serialize per row, so this version
+    is built from sorts, gathers, prefix sums and binary searches ONLY:
+      1. sort the scan by voxel key (one n-row sort) and reduce each
+         voxel run with prefix-sum differences (no segment scatter),
+      2. for runs whose voxel already exists, GATHER the old voxel's
+         sums into the run total (un-finalize/re-accumulate/finalize of
+         gaussian_voxelmap.hpp:33-53 as running sums) and mark the old
+         row dead,
+      3. merge surviving old rows and new per-voxel rows with ONE
+         stable 2-operand sort of (key, source-id) over cap+n rows, and
+      4. materialize the table with one fused payload gather.
+
+    LRU semantics match the reference exactly: every voxel receiving
+    points this insert is stamped with the PRE-increment counter
+    (incremental_voxelmap.hpp:63,70), the counter increments after the
+    scan, and eviction on clear cycles drops voxels with
+    stamp + horizon < counter (:74-79). Empty inserts (padding frames in
+    the jitted odometry scan) are full no-ops and do not advance the
+    clock.
+
+    Capacity overflow drops the highest-key merged voxels (the merged
+    table's tail) — same documented policy as the IncrementalVoxelMap.
+    """
+    V = vm.capacity
     n = points.shape[0]
     dtype = vm.means.dtype
+
+    stamp_val = vm.lru_counter  # PRE-increment stamp
+    nonempty = num_points > 0
+    counter = jnp.where(nonempty, vm.lru_counter + 1, vm.lru_counter)
 
     inv_leaf = 1.0 / vm.leaf_size
     keys_new = pack_coords(voxel_coords(points[:, :3], inv_leaf.astype(points.dtype)))
     keys_new = jnp.where(jnp.arange(n) < num_points, keys_new, INVALID_KEY)
 
-    # Segment-reduce the incoming points by voxel key.
-    order, keys_s, valid, seg, n_new = sort_segments(keys_new)
-    pts_s = points[order].astype(dtype)
-    covs_s = covs[order].astype(dtype)
+    # --- 1. sort the scan; per-run sums via prefix differences ---------
+    pos32 = jnp.arange(n, dtype=jnp.int32)
+    k_s, ord32 = jax.lax.sort((keys_new, pos32), num_keys=1, is_stable=True)
+    pts_s = points[ord32].astype(dtype)
+    covs_s = covs[ord32].astype(dtype)
+    valid = k_s != INVALID_KEY
+    prev = jnp.concatenate([jnp.asarray([INVALID_KEY]), k_s[:-1]])
+    seg_first = (k_s != prev) & valid
 
-    new_keys = jax.ops.segment_max(
-        jnp.where(valid, keys_s, jnp.int64(-1)), seg, num_segments=n
+    w = valid.astype(dtype)
+    allc = jnp.concatenate(
+        [pts_s * w[:, None], covs_s.reshape(n, 9) * w[:, None], w[:, None]],
+        axis=1,
+    )  # [n, 14] = sum_pts(4) | sum_covs(9) | count(1)
+    pref = jnp.concatenate(
+        [jnp.zeros((1, 14), dtype), jnp.cumsum(allc, axis=0)], axis=0
+    )  # exclusive boundaries [n+1, 14]
+    # end of each run = next run head strictly after this row (or n)
+    nxt = jax.lax.cummin(jnp.where(seg_first, pos32, n), reverse=True)
+    run_end = jnp.concatenate([nxt[1:], jnp.asarray([n], jnp.int32)])
+    u_sum = pref[jnp.where(seg_first, run_end, pos32)] - pref[pos32]
+    # (non-head rows give zero rows; only head rows are ever gathered)
+
+    # --- 2. fold existing voxels into the new rows (gather direction) --
+    # method="sort": the default binary-search lowering is a sequential
+    # while_loop (measured 8-28 ms at these sizes); the sort-based
+    # lowering is a single 2-operand sort (~1 ms).
+    lo = jnp.searchsorted(vm.keys, k_s, method="sort")
+    lo_c = jnp.clip(lo, 0, V - 1)
+    exists = seg_first & (vm.keys[lo_c] == k_s)
+    old_tab = jnp.concatenate(
+        [
+            vm.means * vm.counts[:, None],
+            vm.covs.reshape(V, 9) * vm.counts[:, None],
+            vm.counts[:, None],
+        ],
+        axis=1,
+    )  # [V, 14] un-finalized sums
+    u_sum = u_sum + jnp.where(exists[:, None], old_tab[lo_c], 0.0)
+
+    # --- 3. keep masks + one stable merge sort -------------------------
+    # old rows matched by the scan live on as folded new rows (stamped
+    # with the current counter, like the reference's info.lru refresh)
+    posm = jnp.searchsorted(k_s, vm.keys, method="sort")
+    posm_c = jnp.clip(posm, 0, n - 1)
+    touched = (k_s[posm_c] == vm.keys) & (vm.keys != INVALID_KEY)
+
+    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
+    expired = (vm.lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
+    keep_old = (vm.keys != INVALID_KEY) & ~touched & ~(do_clear & expired)
+    born_expired = do_clear & (
+        (stamp_val.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
     )
-    new_keys = jnp.where(jnp.arange(n) < n_new, new_keys, INVALID_KEY)
-    sum_pts = jax.ops.segment_sum(pts_s * valid[:, None].astype(dtype), seg, num_segments=n)
-    sum_covs = jax.ops.segment_sum(
-        covs_s * valid[:, None, None].astype(dtype), seg, num_segments=n
+    keep_new = seg_first & ~born_expired
+
+    mk = jnp.concatenate(
+        [
+            jnp.where(keep_old, vm.keys, INVALID_KEY),
+            jnp.where(keep_new, k_s, INVALID_KEY),
+        ]
     )
-    new_counts = jax.ops.segment_sum(valid.astype(dtype), seg, num_segments=n)
-
-    # Existing voxels as sums (un-finalize, gaussian_voxelmap.hpp:33-37).
-    old_counts = vm.counts
-    old_sum_pts = vm.means * old_counts[:, None]
-    old_sum_covs = vm.covs * old_counts[:, None, None]
-
-    # Merge: concatenate (old cap + new n) candidate voxels, sort by key,
-    # and segment-sum duplicates. Keys are unique within each side, so a
-    # segment has at most 2 members.
-    all_keys = jnp.concatenate([vm.keys, new_keys])
-    all_pts = jnp.concatenate([old_sum_pts, sum_pts])
-    all_covs = jnp.concatenate([old_sum_covs, sum_covs])
-    all_counts = jnp.concatenate([old_counts, new_counts])
-    # LRU: the new side carries the current counter, so the segment_max in
-    # the merge below stamps every touched voxel with it while untouched
-    # voxels keep their old stamp (incremental_voxelmap.hpp:70).
-    all_lru = jnp.concatenate([vm.lru, jnp.full((n,), vm.lru_counter, jnp.int32)])
-
-    m = cap + n
-    order2, k2, valid2, seg2, total = sort_segments(all_keys)
-
-    w2 = valid2.astype(dtype)
-    merged_keys = jax.ops.segment_max(
-        jnp.where(valid2, k2, jnp.int64(-1)), seg2, num_segments=m
+    msrc = jnp.concatenate(
+        [jnp.arange(V, dtype=jnp.int32), V + pos32]
     )
-    merged_pts = jax.ops.segment_sum(all_pts[order2] * w2[:, None], seg2, num_segments=m)
-    merged_covs = jax.ops.segment_sum(
-        all_covs[order2] * w2[:, None, None], seg2, num_segments=m
-    )
-    merged_counts = jax.ops.segment_sum(all_counts[order2] * w2, seg2, num_segments=m)
-    merged_lru = jax.ops.segment_max(
-        jnp.where(valid2, all_lru[order2], jnp.iinfo(jnp.int32).min),
-        seg2,
-        num_segments=m,
-    )
+    sk, ssrc = jax.lax.sort((mk, msrc), num_keys=1, is_stable=True)
+    out_keys = sk[:V]
+    g = ssrc[:V]
+    empty = out_keys == INVALID_KEY
 
-    row = jnp.arange(m)
-    in_range = row < total
-    merged_keys = jnp.where(in_range, merged_keys, INVALID_KEY)
-
-    # LRU eviction every lru_clear_cycle inserts: drop voxels with
-    # lru + horizon < counter (incremental_voxelmap.hpp:74-79). Empty
-    # inserts (zero valid points, e.g. padding frames in the jitted
-    # odometry scan) do not advance the LRU clock.
-    counter = jnp.where(num_points > 0, vm.lru_counter + 1, vm.lru_counter)
-    do_clear = (counter % vm.lru_clear_cycle) == 0
-    expired = (merged_lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
-    evict = do_clear & expired & in_range
-    merged_keys = jnp.where(evict, INVALID_KEY, merged_keys)
-
-    # Capacity overflow policy: keep the most recently used voxels.
-    alive = merged_keys != INVALID_KEY
-    n_alive = jnp.sum(alive).astype(jnp.int32)
-    overflow = n_alive > cap
-    # Rank voxels by LRU (desc) and keep the top `cap` when overflowing.
-    lru_rank = jnp.argsort(
-        jnp.where(alive, -merged_lru.astype(jnp.int64), jnp.iinfo(jnp.int64).max)
-    )
-    keep_rank = jnp.zeros((m,), bool).at[lru_rank[:cap]].set(True)
-    keep = alive & jnp.where(overflow, keep_rank, True)
-    merged_keys = jnp.where(keep, merged_keys, INVALID_KEY)
-
-    # Compact back to capacity: sort by key (invalid last), take first cap.
-    order3 = jnp.argsort(merged_keys)[:cap]
-    out_keys = merged_keys[order3]
-    out_counts = merged_counts[order3]
-    safe = jnp.maximum(out_counts, 1.0)
-    out_means = merged_pts[order3] / safe[:, None]
-    out_covs = merged_covs[order3] / safe[:, None, None]
-    out_lru = merged_lru[order3]
-    out_n = jnp.sum(out_keys != INVALID_KEY).astype(jnp.int32)
+    # --- 4. fused payload gather + finalize ----------------------------
+    ftab = jnp.concatenate([old_tab, u_sum], axis=0)
+    rows = ftab[g]
+    ltab = jnp.concatenate([vm.lru, jnp.full((n,), stamp_val, jnp.int32)])
+    out_lru = jnp.where(empty, 0, ltab[g])
+    out_cnt = jnp.where(empty, 0.0, rows[:, 13])
+    safe = jnp.maximum(out_cnt, 1.0)
+    out_means = jnp.where(empty[:, None], 0.0, rows[:, 0:4]) / safe[:, None]
+    out_covs = jnp.where(empty[:, None], 0.0, rows[:, 4:13]).reshape(V, 3, 3) / safe[
+        :, None, None
+    ]
+    total = jnp.sum(keep_old).astype(jnp.int32) + jnp.sum(keep_new).astype(jnp.int32)
 
     return vm.replace(
         keys=out_keys,
         means=out_means,
         covs=out_covs,
-        counts=jnp.where(out_keys != INVALID_KEY, out_counts, 0.0),
-        num_voxels=out_n,
+        counts=out_cnt,
+        num_voxels=jnp.minimum(total, V),
         lru=out_lru,
         lru_counter=counter,
     )
+
 
 
 def _key_bit_cols(keys: jax.Array, dtype) -> Tuple[jax.Array, int]:
@@ -372,20 +405,23 @@ class IncrementalVoxelMap:
     i.e. "linear iVox" from Faster-LIO). The CPU design is a hash table
     into per-voxel point buckets; the TPU design is a **flat point table
     sorted by voxel key**: a voxel is a contiguous run of rows, found by
-    binary search. Insertion is two stable multi-operand sorts plus
-    segment reductions — no scatter/gather over bucket tables, which are
-    pathologically slow on TPU (~us per row); everything streams through
-    the sort at HBM bandwidth.
+    binary search. Insertion is O(scan): only the incoming scan is
+    sorted; it merges into the sorted table via prefix-sum rank
+    arithmetic plus one id scatter and one fused payload gather
+    (see _ivm_insert).
 
     Semantics preserved from the reference:
-      * per-voxel point cap (default 10, arrival order kept — stable
-        sort keeps earlier points first, flat_container.hpp:43-58)
-      * min-distance dedup (default 0.1 m, flat_container.hpp:24-27),
-        enforced by a fine-grid hash at that resolution — a batched
-        deterministic approximation of the sequential distance check
-      * LRU-horizon voxel eviction (100/10,
-        incremental_voxelmap.hpp:74-86); empty inserts don't advance
-        the LRU clock
+      * per-voxel point cap (default 10, arrival order kept,
+        flat_container.hpp:43-58)
+      * min-distance dedup (default 0.1 m, flat_container.hpp:24-27):
+        EXACT distance test against the voxel's stored occupants; only
+        the within-scan (same insert call) check uses a per-voxel
+        fine-grid approximation — divergence from the sequential
+        reference is bounded in tests/test_voxelmap_oracle.py
+      * LRU-horizon voxel eviction (100/10) with the reference's exact
+        stamp timing: pre-increment stamps, post-increment eviction test
+        (incremental_voxelmap.hpp:63,70,74-86); empty inserts don't
+        advance the LRU clock
       * offset search patterns 1/7/27 (incremental_voxelmap.hpp:157-186)
 
     `capacity` is the maximum number of STORED POINTS (the reference's
@@ -506,17 +542,22 @@ class IncrementalVoxelMap:
         return jnp.arange(self.capacity) < self.num_points_stored
 
 
-def _fine_hash(xyz: jax.Array, fine_leaf) -> jax.Array:
-    """Mixed 64-bit hash of fine-grid integer coords (dedup cell id).
+def _fine_hash(xyz: jax.Array, fine_leaf, coarse_keys: jax.Array) -> jax.Array:
+    """Mixed 64-bit hash of (coarse voxel key, fine-grid integer coords).
 
-    Hash collisions at worst drop one extra point from the dedup —
-    harmless for a dedup approximation.
+    Used for the within-scan dedup approximation. Folding the coarse key
+    in scopes the dedup cells to a single voxel, matching the reference's
+    per-voxel distance check (flat_container.hpp:43-50) even when
+    leaf_size is not an integer multiple of the dedup distance. Hash
+    collisions at worst drop one extra point — harmless for a dedup
+    approximation.
     """
     fc = jnp.floor(xyz / fine_leaf).astype(jnp.int64)
     h = (
         fc[:, 0] * jnp.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15
         + fc[:, 1] * jnp.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
         + fc[:, 2] * jnp.int64(1609587929392839161)   # 0x165667B19E3779F9
+        + coarse_keys * jnp.int64(-8796714831421723037)  # 0x85EBCA77C2B2AE63
     )
     h = h ^ (h >> 29)
     h = h * jnp.int64(-4658895280553007687)  # 0xBF58476D1CE4E5B9
@@ -525,130 +566,178 @@ def _fine_hash(xyz: jax.Array, fine_leaf) -> jax.Array:
 
 @jax.jit
 def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
+    """O(scan) incremental-map insert: sort only the incoming scan and
+    merge it into the already-sorted flat point table.
+
+    The first implementation re-sorted map+scan (P+n rows) with every
+    payload column as a sort operand, twice — O(map·payload) data
+    movement per insert (~8 ms at 131k map / 16k scan on a v5e chip).
+    TPU scatters serialize per row, so this version is built from sorts,
+    gathers, prefix sums and binary searches ONLY: the n scan rows are
+    sorted (2-3 small sorts), per-voxel occupancy and the exact dedup
+    test come from a C-row window gather at each query's binary-search
+    position, and the merge is ONE stable 2-operand sort of
+    (key, source-id) over P+n rows followed by one fused payload gather.
+
+    Reference-semantics notes (incremental_voxelmap.hpp:55-92 +
+    flat_container.hpp:43-58):
+      * dedup against OLD voxel occupants is EXACT: each new point
+        gathers its voxel's stored rows and tests real squared
+        distances — the reference's min-dist check verbatim. Only the
+        within-scan (same-batch) dedup uses the fine-grid approximation,
+        scoped per voxel via `_fine_hash`.
+      * per-voxel cap admits new points in arrival order until
+        occupants + admitted == cell_capacity.
+      * every valid point stamps its voxel with the PRE-increment
+        counter, even points the cap/dedup rejects (:69-71); the counter
+        increments after the scan; clear cycles evict voxels with
+        stamp + horizon < counter (:74-79). Empty inserts are no-ops.
+      * capacity overflow drops the highest-key merged rows.
+    """
     P = vm.capacity
     C = vm.cell_capacity
     n = points.shape[0]
     dtype = vm.points.dtype
-    m = P + n
-    # Empty inserts do not advance the LRU clock.
-    counter = jnp.where(num_points > 0, vm.lru_counter + 1, vm.lru_counter)
+
+    stamp_val = vm.lru_counter  # PRE-increment stamp
+    nonempty = num_points > 0
+    counter = jnp.where(nonempty, vm.lru_counter + 1, vm.lru_counter)
 
     inv_leaf = (1.0 / vm.leaf_size).astype(points.dtype)
     new_keys = pack_coords(voxel_coords(points[:, :3], inv_leaf))
     new_keys = jnp.where(jnp.arange(n) < num_points, new_keys, INVALID_KEY)
+    pts_new = points.astype(dtype)
 
-    # ------------------------------------------------------------------
-    # Combined table: old rows first (arrival order ties in the stable
-    # sorts below resolve old-before-new, matching the reference's
-    # sequential insert).
-    all_keys = jnp.concatenate([vm.point_keys, new_keys])
-    all_stamps = jnp.concatenate([vm.stamps, jnp.full((n,), counter, jnp.int32)])
-    is_new_row = jnp.concatenate(
-        [jnp.zeros((P,), jnp.int32), jnp.ones((n,), jnp.int32)]
-    )
-    row_id = jnp.arange(m, dtype=jnp.int32)
+    # --- sort scan rows by (key, arrival) ------------------------------
+    arrival = jnp.arange(n, dtype=jnp.int32)
+    k_s, a_s = jax.lax.sort((new_keys, arrival), num_keys=1, is_stable=True)
+    xyz_s = pts_new[a_s, :3]
+    valid_new = k_s != INVALID_KEY
 
-    # ------------------------------------------------------------------
-    # Min-dist dedup at the fine grid: stable-sort (hash, row) and keep
-    # only the first row of each fine cell — old rows sort first, so a
-    # new point landing in an occupied fine cell is dropped, like the
-    # reference's distance check against existing occupants
-    # (flat_container.hpp:43-50).
+    # --- old-occupant window: occupancy count + exact dedup ------------
+    # method="sort": see _gvm_insert — the binary-search lowering is a
+    # sequential while_loop, ~8 ms at these sizes vs ~1 ms for the sort.
+    lo = jnp.searchsorted(vm.point_keys, k_s, method="sort")
+    win = lo[:, None] + jnp.arange(C)[None, :]  # voxel runs are <= C rows
+    winc = jnp.clip(win, 0, P - 1)
+    keycols, nk = _key_bit_cols(vm.point_keys, dtype)
+    otab = jnp.concatenate([keycols, vm.points[:, :3]], axis=1)
+    orows = otab[winc]  # [n, C, nk+3]
+    okeys = _bits_to_key(orows[..., 0:nk])
+    in_voxel = (okeys == k_s[:, None]) & (win < P) & valid_new[:, None]
+    occ = jnp.sum(in_voxel, axis=-1).astype(jnp.int32)  # old points per voxel
+
     if vm.min_sq_dist_in_cell > 0.0:
-        fine_leaf = jnp.sqrt(jnp.asarray(vm.min_sq_dist_in_cell, points.dtype))
-        all_xyz3 = jnp.concatenate([vm.points[:, :3], points[:, :3].astype(dtype)])
-        fh = _fine_hash(all_xyz3, fine_leaf)
-        fh = jnp.where(all_keys != INVALID_KEY, fh, INVALID_KEY)
-        fh_s, row_s = jax.lax.sort((fh, row_id), num_keys=1)
+        diff = orows[..., nk:nk + 3] - xyz_s[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(in_voxel, d2, _FAR)
+        ok = valid_new & (jnp.min(d2, axis=-1) >= vm.min_sq_dist_in_cell)
+        # Within-scan dedup approximation: keep the first arrival per
+        # per-voxel fine cell. Sort (hash, arrival) to find run heads,
+        # then sort back by position (scatter-free inverse).
+        fine_leaf = jnp.sqrt(jnp.asarray(vm.min_sq_dist_in_cell, dtype))
+        fh = _fine_hash(xyz_s, fine_leaf, k_s)
+        fh = jnp.where(ok, fh, INVALID_KEY)
+        pos32 = jnp.arange(n, dtype=jnp.int32)
+        fh_s, _, pos_s = jax.lax.sort((fh, a_s, pos32), num_keys=2)
         first = jnp.concatenate(
             [jnp.asarray([True]), fh_s[1:] != fh_s[:-1]]
         ) & (fh_s != INVALID_KEY)
-        keep_fine = jnp.zeros((m,), bool).at[row_s].set(first)
-        # Old rows always survive (their fine cells are unique by
-        # construction); only new duplicates are dropped.
-        keep_fine = keep_fine | (is_new_row == 0)
-        all_keys = jnp.where(
-            keep_fine, all_keys, INVALID_KEY
+        _, first_b = jax.lax.sort(
+            (pos_s, first.astype(jnp.int32)), num_keys=1
         )
+        ok = ok & first_b.astype(bool)
+    else:
+        ok = valid_new
 
-    # ------------------------------------------------------------------
-    # Main stable sort by voxel key, carrying all payload columns.
-    pts_all = jnp.concatenate([vm.points, points.astype(dtype)])
-    ops = [all_keys, all_stamps, row_id] + [pts_all[:, i] for i in range(4)]
-    nrm_all = cov_all = None
-    if vm.normals is not None:
-        nrm_all = jnp.concatenate([vm.normals, normals.astype(dtype)])
-        ops += [nrm_all[:, i] for i in range(4)]
-    if vm.covs is not None:
-        cov_all = jnp.concatenate(
-            [vm.covs.reshape(P, 9), covs.reshape(n, 9).astype(dtype)]
-        )
-        ops += [cov_all[:, i] for i in range(9)]
-    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
-    k_s, stamp_s = sorted_ops[0], sorted_ops[1]
-    payload_s = list(sorted_ops[3:])
+    # --- per-voxel cap: arrival rank among accepted new rows -----------
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.asarray([INVALID_KEY]), k_s[:-1]])
+    seg_first = (k_s != prev) & valid_new
+    run_start = jax.lax.cummax(jnp.where(seg_first, pos, -1))
+    okf = ok.astype(jnp.int32)
+    ex = jnp.cumsum(okf) - okf  # exclusive prefix of accepted rows
+    base = ex[jnp.clip(run_start, 0, n - 1)]
+    rank = ex - base
+    keep_new = ok & (occ + rank < C)
 
-    valid, seg_first, seg, _ = segment_ids(k_s)
-    pos = jnp.arange(m, dtype=jnp.int32)
+    # --- old rows: stamp refresh + eviction ----------------------------
+    posm = jnp.searchsorted(k_s, vm.point_keys, method="sort")
+    posm_c = jnp.clip(posm, 0, n - 1)
+    touched = (k_s[posm_c] == vm.point_keys) & (vm.point_keys != INVALID_KEY)
+    old_stamps = jnp.where(touched, stamp_val, vm.stamps)
 
-    # Voxel LRU stamp = max over the run (new points refresh the voxel).
-    vox_stamp = jax.ops.segment_max(
-        jnp.where(valid, stamp_s, jnp.iinfo(jnp.int32).min), seg, num_segments=m
-    )
-    stamp_of_point = vox_stamp[seg]
-
-    # Per-voxel cap by arrival rank (stable sort kept arrival order).
-    seg_start = jax.ops.segment_min(
-        jnp.where(valid, pos, m), seg, num_segments=m
-    )
-    rank = pos - seg_start[seg]
-    keep = valid & (rank < C)
-
-    # LRU eviction cycle.
-    do_clear = (counter % vm.lru_clear_cycle) == 0
+    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
     expired = (
-        stamp_of_point.astype(jnp.int64) + vm.lru_horizon
+        old_stamps.astype(jnp.int64) + vm.lru_horizon
     ) < counter.astype(jnp.int64)
-    keep = keep & ~(do_clear & expired)
+    keep_old = (vm.point_keys != INVALID_KEY) & ~(do_clear & expired)
+    born_expired = do_clear & (
+        (stamp_val.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
+    )
+    keep_new = keep_new & ~born_expired
 
-    # ------------------------------------------------------------------
-    # Compaction: second stable sort pushes dropped rows to the tail.
-    k_keep = jnp.where(keep, k_s, INVALID_KEY)
-    ops2 = [k_keep, stamp_of_point] + payload_s
-    sorted2 = jax.lax.sort(tuple(ops2), num_keys=1, is_stable=True)
-    out_keys = sorted2[0][:P]
-    out_stamps = sorted2[1][:P]
-    cols = sorted2[2:]
-    out_points = jnp.stack([c[:P] for c in cols[0:4]], axis=1)
+    # --- merge: ONE stable (key, src) sort over P+n rows ---------------
+    # stable ⇒ equal keys keep input order: old rows (first block, in
+    # stored order) precede new rows (arrival order within a voxel) —
+    # exactly the reference's sequential arrival semantics.
+    mk = jnp.concatenate(
+        [
+            jnp.where(keep_old, vm.point_keys, INVALID_KEY),
+            jnp.where(keep_new, k_s, INVALID_KEY),
+        ]
+    )
+    msrc = jnp.concatenate([jnp.arange(P, dtype=jnp.int32), P + a_s])
+    sk, ssrc = jax.lax.sort((mk, msrc), num_keys=1, is_stable=True)
+    out_keys = sk[:P]
+    g = ssrc[:P]
+    empty = out_keys == INVALID_KEY
+
+    # --- fused payload gather ------------------------------------------
+    # new-side tables are in ORIGINAL arrival frame (src = P + a_s)
+    stab = jnp.concatenate([old_stamps, jnp.full((n,), stamp_val, jnp.int32)])
+    out_stamps = jnp.where(empty, 0, stab[g])
+
+    fcols = [jnp.concatenate([vm.points, pts_new], axis=0)]
+    if vm.normals is not None:
+        fcols.append(jnp.concatenate([vm.normals, normals.astype(dtype)], axis=0))
+    if vm.covs is not None:
+        fcols.append(
+            jnp.concatenate(
+                [vm.covs.reshape(P, 9), covs.reshape(n, 9).astype(dtype)], axis=0
+            )
+        )
+    rows = jnp.concatenate(fcols, axis=1)[g]
+    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
+    out_points = jnp.where(empty[:, None], pad, rows[:, 0:4])
     off = 4
     out_normals = None
     out_covs = None
     if vm.normals is not None:
-        out_normals = jnp.stack([c[:P] for c in cols[off:off + 4]], axis=1)
+        out_normals = jnp.where(empty[:, None], 0.0, rows[:, off:off + 4])
         off += 4
     if vm.covs is not None:
-        out_covs = jnp.stack(
-            [c[:P] for c in cols[off:off + 9]], axis=1
+        out_covs = jnp.where(
+            empty[:, None], 0.0, rows[:, off:off + 9]
         ).reshape(P, 3, 3)
 
-    out_valid = out_keys != INVALID_KEY
-    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
-    out_points = jnp.where(out_valid[:, None], out_points, pad)
     prev_o = jnp.concatenate(
         [jnp.asarray([INVALID_KEY], out_keys.dtype), out_keys[:-1]]
     )
-    n_vox = jnp.sum((out_keys != prev_o) & out_valid).astype(jnp.int32)
+    n_vox = jnp.sum((out_keys != prev_o) & ~empty).astype(jnp.int32)
+    total = jnp.sum(keep_old).astype(jnp.int32) + jnp.sum(keep_new).astype(jnp.int32)
 
     return vm.replace(
         point_keys=out_keys,
         points=out_points,
         normals=out_normals,
         covs=out_covs,
-        stamps=jnp.where(out_valid, out_stamps, 0),
-        num_points_stored=jnp.sum(out_valid).astype(jnp.int32),
+        stamps=out_stamps,
+        num_points_stored=jnp.minimum(total, P),
         num_voxels=n_vox,
         lru_counter=counter,
     )
+
 
 
 @partial(jax.jit, static_argnames=("k",))
