@@ -267,6 +267,29 @@ class FlowScanToScanOdometry(ScanToScanOdometry):
         return poses
 
 
+class ProjectiveScanToScanOdometry(ScanToScanOdometry):
+    """GICP scan-to-scan odometry searching correspondences through the
+    equirectangular ProjectiveSearch instead of exact NN — the engine
+    analog of plugging ProjectiveSearch into the Registration template
+    (ann/projective_search.hpp:42-184, 03_registration_template.cpp:152-179).
+    The index image is rebuilt per frame from the previous cloud (an
+    O(N) scatter), so per-frame cost trades exactness for a
+    construction-free, window-bounded search."""
+
+    def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        from small_gicp_tpu.ops.projective_search import ProjectiveSearch
+
+        cur = self._preprocess(self._prep_frame(points_xyz))
+        if self._prev is None:
+            self._prev = cur
+            return self.T_world
+        tree = ProjectiveSearch.build(self._prev)
+        result = self.reg.align(self._prev, cur, tree, None)
+        self.T_world = self.T_world @ result.T_target_source
+        self._prev = cur
+        return self.T_world
+
+
 def _scan_to_scan_factory(rtype):
     def make(params=None):
         return ScanToScanOdometry(params, registration_type=rtype)
@@ -282,6 +305,7 @@ ENGINES = {
     "small_gicp_model": ScanToModelOdometry,
     "small_vgicp_model": VGICPModelOdometry,
     "small_gicp_flow": FlowScanToScanOdometry,
+    "small_gicp_projective": ProjectiveScanToScanOdometry,
 }
 
 

@@ -41,6 +41,7 @@ from small_gicp_tpu.utils.lie import se3_exp
 from small_gicp_tpu.models import factors
 from small_gicp_tpu.models.factors import Correspondences, GICP, ICP, PLANE_ICP
 from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
+from small_gicp_tpu.ops.projective_search import ProjectiveSearch
 
 
 @struct.dataclass
@@ -123,9 +124,17 @@ def _search_correspondences(
         if cf is not None:
             t_covs = rows[:, off:off + 9].reshape(-1, 3, 3)
     else:
-        tree = target_tree if target_tree is not None else KdTree.build(target)
-        sq_dists, idx = tree.nearest_neighbor_search(transed[:, :3])
-        found = jnp.ones_like(sq_dists, dtype=bool)
+        # Any ANN structure plugs in as the target searcher, like the
+        # reference's Registration template (03_registration_template.cpp:
+        # 152-179 swaps KdTree / voxelmap / brute force freely).
+        if isinstance(target_tree, ProjectiveSearch):
+            sq_dists, idx, found = target_tree.nearest_neighbor_search(
+                transed[:, :3]
+            )
+        else:
+            tree = target_tree if target_tree is not None else KdTree.build(target)
+            sq_dists, idx = tree.nearest_neighbor_search(transed[:, :3])
+            found = jnp.ones_like(sq_dists, dtype=bool)
         m = target.points.shape[0]
         if factor_type == GICP and target.covs is not None:
             # One fused [N,12] gather instead of separate point and cov

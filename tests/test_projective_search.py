@@ -73,3 +73,51 @@ def test_knn_sorted(rng):
     d2 = np.asarray(d2)
     assert d2.shape == (100, 5)
     assert np.all(np.diff(d2, axis=1) >= 0)
+
+
+def test_projective_search_plugs_into_registration(bundled_pair):
+    """ProjectiveSearch as the target searcher of a full GICP align on
+    the bundled real pair, within the reference's own accuracy bounds
+    (reference: any ANN plugs into Registration —
+    03_registration_template.cpp:152-179; bounds registration_test.cpp:
+    144-145). The pair is a real spinning-LiDAR scan, so the
+    equirectangular window search applies as designed."""
+    import small_gicp_tpu as sgt
+    from small_gicp_tpu.models.registration import Registration
+    from small_gicp_tpu.utils.lie import rotation_error_deg
+
+    target_raw, source_raw, T_gt = bundled_pair
+    target, _ = sgt.preprocess_points(
+        target_raw.astype(np.float32), 0.4, num_neighbors=10, max_points=8192
+    )
+    source, _ = sgt.preprocess_points(
+        source_raw.astype(np.float32), 0.4, num_neighbors=10, max_points=8192
+    )
+    tree = ProjectiveSearch.build(target)
+    reg = Registration(registration_type="gicp")
+    result = reg.align(target, source, tree, None)
+    T = np.asarray(result.T_target_source)
+    rot_err = rotation_error_deg(T[:3, :3], T_gt[:3, :3])
+    trans_err = np.linalg.norm(T[:3, 3] - T_gt[:3, 3])
+    assert bool(result.converged)
+    assert rot_err < 2.5, rot_err
+    assert trans_err < 0.2, trans_err
+
+
+def test_projective_odometry_engine(rng):
+    """The small_gicp_projective engine tracks a known translation."""
+    from small_gicp_tpu.models.odometry import create_odometry, OdometryParams
+
+    base = rng.uniform(-20, 20, size=(4000, 3)).astype(np.float32)
+    # keep points inside the projective FOV (not directly above/below)
+    base[:, 2] = np.clip(base[:, 2], -3.0, 3.0)
+    scans = []
+    for i in range(4):
+        shift = np.array([0.3 * i, 0.0, 0.0], np.float32)
+        scans.append(base - shift + rng.normal(scale=0.005, size=base.shape
+                                               ).astype(np.float32))
+    odo = create_odometry("small_gicp_projective", OdometryParams(
+        max_scan_points=4096, max_downsampled=4096, map_capacity=4096,
+        downsampling_resolution=0.3))
+    poses = odo.estimate(scans)
+    assert abs(poses[-1][0, 3] - 0.9) < 0.1, poses[-1][:3, 3]
