@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--max-downsampled", type=int, default=16384)
     ap.add_argument("--map-capacity", type=int, default=262144)
     ap.add_argument("--chunk-frames", type=int, default=16)
+    ap.add_argument("--predict-motion", action="store_true",
+                    help="constant-velocity initial guess (engines default "
+                         "to the reference's raw-previous-pose seeding)")
     ap.add_argument("--save-prefix", default=None,
                     help="write <prefix>_<engine>.txt + <prefix>_gt.txt")
     args = ap.parse_args(argv)
@@ -83,6 +86,7 @@ def main(argv=None):
             map_capacity=(args.map_capacity if engine.endswith("_model")
                           else args.max_downsampled),
             downsampling_resolution=args.downsample,
+            predict_motion=args.predict_motion,
         )
         # vgicp map capacity counts voxels, not points
         if engine == "vgicp_model":

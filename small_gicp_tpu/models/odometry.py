@@ -51,6 +51,15 @@ class OdometryParams:
     dtype: str = "float32"
     # Factor used by the scan-to-scan engines (icp / plane_icp / gicp).
     registration_type: str = "gicp"
+    # Constant-velocity initial guess (NOT in the reference, which seeds
+    # scan-to-model alignment with the raw previous pose —
+    # odometry_benchmark_small_gicp_model_tbb.cpp:39). At typical frame
+    # motion (~1.2 m) a previous-pose seed sits at the edge of the
+    # 1.0 m correspondence basin and can drop into a ground-sliding
+    # local minimum; predicting with the previous frame-to-frame delta
+    # shrinks the seed error to the motion's second derivative.
+    # Off by default for reference parity.
+    predict_motion: bool = False
 
 
 class _OdometryBase:
@@ -148,6 +157,7 @@ class ScanToModelOdometry(_OdometryBase):
             num_offsets=1,
         )
         self.T_world = jnp.eye(4, dtype=p.dtype)
+        self.T_delta = jnp.eye(4, dtype=p.dtype)
         self._first = True
 
     def _preprocess(self, cloud: PointCloud) -> PointCloud:
@@ -158,13 +168,19 @@ class ScanToModelOdometry(_OdometryBase):
         return estimate_covariances(down, num_neighbors=p.num_neighbors)
 
     def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        from small_gicp_tpu.utils.lie import rigid_inverse
+
         cur = self._preprocess(self._prep_frame(points_xyz))
         if self._first:
             self.voxelmap = self.voxelmap.insert(cur, self.T_world)
             self._first = False
             return self.T_world
-        result = self.reg.align(self.voxelmap, cur, None, self.T_world)
-        self.T_world = result.T_target_source
+        guess = (self.T_world @ self.T_delta if self.params.predict_motion
+                 else self.T_world)
+        result = self.reg.align(self.voxelmap, cur, None, guess)
+        T_new = result.T_target_source
+        self.T_delta = rigid_inverse(self.T_world) @ T_new
+        self.T_world = T_new
         self.voxelmap = self.voxelmap.insert(cur, self.T_world)
         return self.T_world
 
@@ -181,6 +197,7 @@ class VGICPModelOdometry(_OdometryBase):
             p.voxel_resolution, capacity=p.map_capacity, dtype=p.dtype
         )
         self.T_world = jnp.eye(4, dtype=p.dtype)
+        self.T_delta = jnp.eye(4, dtype=p.dtype)
         self._first = True
 
     def _preprocess(self, cloud: PointCloud) -> PointCloud:
@@ -191,13 +208,19 @@ class VGICPModelOdometry(_OdometryBase):
         return estimate_covariances(down, num_neighbors=p.num_neighbors)
 
     def estimate_frame(self, points_xyz: np.ndarray) -> jax.Array:
+        from small_gicp_tpu.utils.lie import rigid_inverse
+
         cur = self._preprocess(self._prep_frame(points_xyz))
         if self._first:
             self.voxelmap = self.voxelmap.insert(cur, self.T_world)
             self._first = False
             return self.T_world
-        result = self.reg.align(self.voxelmap, cur, None, self.T_world)
-        self.T_world = result.T_target_source
+        guess = (self.T_world @ self.T_delta if self.params.predict_motion
+                 else self.T_world)
+        result = self.reg.align(self.voxelmap, cur, None, guess)
+        T_new = result.T_target_source
+        self.T_delta = rigid_inverse(self.T_world) @ T_new
+        self.T_world = T_new
         self.voxelmap = self.voxelmap.insert(cur, self.T_world)
         return self.T_world
 

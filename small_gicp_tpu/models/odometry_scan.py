@@ -27,13 +27,16 @@ from small_gicp_tpu.ops.downsampling import _voxelgrid_sampling_impl
 from small_gicp_tpu.ops.normals import _estimate_impl
 from small_gicp_tpu.ops.voxel_covs import voxelgrid_sampling_with_covs_impl
 from small_gicp_tpu.models.registration import align_impl
+from small_gicp_tpu.utils.lie import rigid_inverse
 from small_gicp_tpu.models.voxelmap import GaussianVoxelMap, IncrementalVoxelMap
 from small_gicp_tpu.models.odometry import OdometryParams
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors", "covariance_mode"),
+    static_argnames=(
+        "max_downsampled", "num_neighbors", "covariance_mode", "predict_motion"
+    ),
 )
 def odometry_scan_step(
     carry,
@@ -44,15 +47,21 @@ def odometry_scan_step(
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
     covariance_mode: str = "knn",
+    predict_motion: bool = False,
 ):
-    """One odometry step; carry = (T_world [4,4], voxelmap, is_first).
+    """One odometry step; carry = (T_world [4,4], T_delta [4,4],
+    voxelmap, is_first). T_delta is the last frame-to-frame motion; with
+    predict_motion=True the alignment is seeded with the
+    constant-velocity prediction T_world @ T_delta instead of the raw
+    previous pose (see OdometryParams.predict_motion — not in the
+    reference, off by default).
 
     covariance_mode: "knn" (default) reproduces the reference's kNN
     covariances; "voxel" uses fused 27-voxel neighborhood moments
     (ops/voxel_covs.py) — fewer FLOPs but gather-bound on current TPUs,
     so "knn" is faster there.
     """
-    T_world, vm, is_first = carry
+    T_world, T_delta, vm, is_first = carry
     dtype = frame_points.dtype
 
     if covariance_mode == "voxel":
@@ -76,23 +85,30 @@ def odometry_scan_step(
     # reference's model engines). On the first frame the map is empty:
     # every correspondence is masked out, H=0, all lambda trials accept a
     # zero delta, and the selected pose below falls back to T_world.
+    guess = T_world @ T_delta if predict_motion else T_world
     result = align_impl(
         vm,
         cloud,
         None,
-        T_world,
+        guess,
         registration_type="gicp",
         max_dist_sq=max_correspondence_distance**2,
     )
-    T_new = jnp.where(is_first, T_world, result.T_target_source)
-
+    real = frame_count > 0
+    T_new = jnp.where(is_first | ~real, T_world, result.T_target_source)
+    delta_new = jnp.where(
+        is_first | ~real, T_delta, rigid_inverse(T_world) @ T_new
+    )
     vm = vm.insert(cloud, T_new)
-    return (T_new, vm, jnp.asarray(False)), T_new
+    is_first_new = jnp.where(real, False, is_first)
+    return (T_new, delta_new, vm, is_first_new), T_new
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors", "registration_type"),
+    static_argnames=(
+        "max_downsampled", "num_neighbors", "registration_type", "predict_motion"
+    ),
 )
 def odometry_scan_step_s2s(
     carry,
@@ -103,17 +119,19 @@ def odometry_scan_step_s2s(
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
     registration_type: str = "gicp",
+    predict_motion: bool = False,
 ):
     """One scan-to-scan step (BASELINE config 3 / the reference's
     small_gicp engines, odometry_benchmark_small_gicp_omp.cpp:16-43):
-    identity initial guess, align current frame against the PREVIOUS
+    identity initial guess (or the previous relative motion when
+    predict_motion=True), align current frame against the PREVIOUS
     frame, accumulate the relative pose.
 
-    carry = (T_world [4,4], prev PointCloud, is_first). The previous
-    frame rides in the carry as a fixed-capacity cloud, so the whole
-    trajectory runs as one lax.scan program.
+    carry = (T_world [4,4], T_delta [4,4], prev PointCloud, is_first).
+    The previous frame rides in the carry as a fixed-capacity cloud, so
+    the whole trajectory runs as one lax.scan program.
     """
-    T_world, prev, is_first = carry
+    T_world, T_delta, prev, is_first = carry
     dtype = frame_points.dtype
 
     pts, n = _voxelgrid_sampling_impl(
@@ -131,30 +149,37 @@ def odometry_scan_step_s2s(
         _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
         cur = PointCloud(points=pts, num_points=n, covs=covs)
 
+    guess = T_delta if predict_motion else jnp.eye(4, dtype=dtype)
     result = align_impl(
         prev,
         cur,
         None,
-        jnp.eye(4, dtype=dtype),
+        guess,
         registration_type=registration_type,
         max_dist_sq=max_correspondence_distance**2,
     )
     # First frame: the "previous" cloud is empty → every correspondence
-    # masks out and the relative pose stays identity.
-    T_rel = jnp.where(is_first, jnp.eye(4, dtype=dtype), result.T_target_source)
+    # masks out and the relative pose stays at the guess; force identity.
+    real = frame_count > 0
+    T_rel = jnp.where(
+        is_first | ~real, jnp.eye(4, dtype=dtype), result.T_target_source
+    )
     T_new = T_world @ T_rel
+    delta_new = jnp.where(is_first | ~real, T_delta, T_rel)
     # Empty (padded-tail) frames are no-ops: keep the previous cloud so a
     # later real frame still has a target.
     prev_new = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(frame_count > 0, a, b), cur, prev
+        lambda a, b: jnp.where(real, a, b), cur, prev
     )
-    is_first_new = jnp.where(frame_count > 0, False, is_first)
-    return (T_new, prev_new, is_first_new), T_new
+    is_first_new = jnp.where(real, False, is_first)
+    return (T_new, delta_new, prev_new, is_first_new), T_new
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors", "registration_type"),
+    static_argnames=(
+        "max_downsampled", "num_neighbors", "registration_type", "predict_motion"
+    ),
 )
 def odometry_scan_s2s(
     carry,
@@ -165,6 +190,7 @@ def odometry_scan_s2s(
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
     registration_type: str = "gicp",
+    predict_motion: bool = False,
 ):
     """Scan-to-scan odometry over a chunk of frames in one program."""
 
@@ -179,6 +205,7 @@ def odometry_scan_s2s(
             max_downsampled=max_downsampled,
             num_neighbors=num_neighbors,
             registration_type=registration_type,
+            predict_motion=predict_motion,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -186,7 +213,9 @@ def odometry_scan_s2s(
 
 @partial(
     jax.jit,
-    static_argnames=("max_downsampled", "num_neighbors", "covariance_mode"),
+    static_argnames=(
+        "max_downsampled", "num_neighbors", "covariance_mode", "predict_motion"
+    ),
 )
 def odometry_scan(
     carry,
@@ -197,6 +226,7 @@ def odometry_scan(
     max_downsampled: int = 8192,
     num_neighbors: int = 20,
     covariance_mode: str = "knn",
+    predict_motion: bool = False,
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -214,6 +244,7 @@ def odometry_scan(
             max_downsampled=max_downsampled,
             num_neighbors=num_neighbors,
             covariance_mode=covariance_mode,
+            predict_motion=predict_motion,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -267,7 +298,12 @@ class JitOdometry:
         else:
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
-        self.carry = (jnp.eye(4, dtype=dtype), vm, jnp.asarray(True))
+        self.carry = (
+            jnp.eye(4, dtype=dtype),
+            jnp.eye(4, dtype=dtype),
+            vm,
+            jnp.asarray(True),
+        )
         self.poses = []
 
     def _stack_frames(self, frames, n_slots: int):
@@ -296,6 +332,7 @@ class JitOdometry:
                 max_downsampled=p.max_downsampled,
                 num_neighbors=p.num_neighbors,
                 registration_type=self.registration_type,
+                predict_motion=p.predict_motion,
             )
             return poses
         # The voxelmap pytree type in `carry` selects gicp-model vs
@@ -309,6 +346,7 @@ class JitOdometry:
             max_downsampled=p.max_downsampled,
             num_neighbors=p.num_neighbors,
             covariance_mode=self.covariance_mode,
+            predict_motion=p.predict_motion,
         )
         return poses
 

@@ -89,7 +89,21 @@ def _search_correspondences(
                          precision=jax.lax.Precision.HIGHEST)  # [N,4]
     n = source_points.shape[0]
 
-    if isinstance(target, GaussianVoxelMap):
+    # Late import: parallel/ is optional at registration-module load.
+    from small_gicp_tpu.parallel.map_sharding import (
+        ShardedVoxelMapTarget,
+        sharded_nn_payload,
+    )
+
+    if isinstance(target, ShardedVoxelMapTarget):
+        # Map-block scale-out: correspondence search against a
+        # mesh-sharded voxel map (SURVEY §5; end-to-end analog of the
+        # reference's voxelmap-as-target stack, registration_helper.cpp:136).
+        sq_dists, found, mu, t_covs, t_normals = sharded_nn_payload(
+            target.vm, transed[:, :3], target.mesh
+        )
+        idx = jnp.zeros((n,), jnp.int32)  # payload already gathered
+    elif isinstance(target, GaussianVoxelMap):
         sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
         # Fused [V,12] mean+cov table → one payload gather per iteration
         # (the concat is loop-invariant and hoisted by XLA). NOTE: fusing

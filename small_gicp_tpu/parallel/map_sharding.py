@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # moved to jax.shard_map in newer JAX
     from jax import shard_map
@@ -173,3 +174,185 @@ def sharded_ivm_nn(
     d2, idx = fn(vm.point_keys, vm.points, vm.leaf_size, query_xyz)
     found = d2 < _FAR
     return d2, jnp.where(found, idx, 0), found
+
+
+@struct.dataclass
+class ShardedVoxelMapTarget:
+    """Registration-target wrapper marking a voxel map as mesh-sharded.
+
+    Passing this as the `target` of align_impl routes correspondence
+    search through the sharded NN kernels below (the end-to-end
+    "voxelmap-as-target" call stack of registration_helper.cpp:136, but
+    with the map's row axis living across the mesh). The (H,b,e)
+    reduction downstream stays replicated — the collective cost per
+    optimizer iteration is the [Q,12] winner-payload psum here plus two
+    [Q] pmins, all riding ICI.
+    """
+
+    vm: object  # GaussianVoxelMap | IncrementalVoxelMap (pytree)
+    mesh: Mesh = struct.field(pytree_node=False)
+
+
+def sharded_nn_payload(vm, query_xyz: jax.Array, mesh: Mesh):
+    """NN + winner payload over a sharded voxel map.
+
+    Returns (sq_dists [Q], found [Q], mu [Q,3], covs [Q,3,3] or None,
+    normals [Q,4] or None), bitwise identical to the single-device
+    search + payload gather. The winner's payload row is selected inside
+    each shard and combined with a masked psum (the global-argmin winner
+    is unique, so the sum IS the winner's row).
+    """
+    if isinstance(vm, GaussianVoxelMap):
+        d2, found, pay = _sharded_gvm_nn_payload(vm, query_xyz, mesh)
+        mu = pay[:, :3]
+        covs = pay[:, 3:12].reshape(-1, 3, 3)
+        return d2, found, mu, covs, None
+    if isinstance(vm, IncrementalVoxelMap):
+        d2, found, pay = _sharded_ivm_nn_payload(vm, query_xyz, mesh)
+        mu = pay[:, :3]
+        off = 3
+        covs = normals = None
+        if vm.covs is not None:
+            covs = pay[:, off:off + 9].reshape(-1, 3, 3)
+            off += 9
+        if vm.normals is not None:
+            normals = pay[:, off:off + 4]
+        return d2, found, mu, covs, normals
+    raise TypeError(f"unsupported sharded map type {type(vm)!r}")
+
+
+def _sharded_gvm_nn_payload(vm: GaussianVoxelMap, query_xyz, mesh: Mesh):
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    local_v = vm.capacity // n_dev
+    offsets = neighbor_offsets(vm.num_offsets)
+
+    def local(keys, means, covs, leaf, q):
+        nq = q.shape[0]
+        inv_leaf = (1.0 / leaf).astype(q.dtype)
+        cand_keys = pack_coords(
+            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
+        )
+        pos = jnp.clip(
+            jnp.searchsorted(keys, cand_keys.reshape(-1), method="sort"),
+            0,
+            local_v - 1,
+        ).reshape(nq, -1)
+        found = (keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)
+        mu = means[pos][..., :3]
+        diff = mu - q[:, None, :]
+        d2 = jnp.where(found, jnp.sum(diff * diff, axis=-1), _FAR)
+        best = jnp.argmin(d2, axis=-1)
+        rows = jnp.arange(nq)
+        bd = d2[rows, best]
+        pos_b = pos[rows, best]
+        shard_id = jax.lax.axis_index(axis)
+        bidx = (pos_b + shard_id * local_v).astype(jnp.int32)
+        bidx = jnp.where(bd < _FAR, bidx, _IMAX)
+        gmin, gidx = _combine_across_shards(axis, bd, bidx)
+        payload = jnp.concatenate(
+            [means[pos_b][:, :3], covs[pos_b].reshape(nq, 9)], axis=1
+        )
+        win = (bidx == gidx) & (bd < _FAR)
+        pay = jax.lax.psum(jnp.where(win[:, None], payload, 0.0), axis)
+        return gmin, pay
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+    )
+    d2, pay = fn(vm.keys, vm.means, vm.covs, vm.leaf_size, query_xyz)
+    return d2, d2 < _FAR, pay
+
+
+def _sharded_ivm_nn_payload(vm: IncrementalVoxelMap, query_xyz, mesh: Mesh):
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    local_p = vm.capacity // n_dev
+    C = vm.cell_capacity
+    offsets = neighbor_offsets(vm.num_offsets)
+    has_covs = vm.covs is not None
+    has_normals = vm.normals is not None
+
+    def local(point_keys, points, covs, normals, leaf, q):
+        nq = q.shape[0]
+        inv_leaf = (1.0 / leaf).astype(q.dtype)
+        cand_keys = pack_coords(
+            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
+        )
+        start = jnp.searchsorted(
+            point_keys, cand_keys.reshape(-1), method="sort"
+        ).reshape(nq, -1)
+        idx = jnp.clip(
+            start[:, :, None] + jnp.arange(C)[None, None, :], 0, local_p - 1
+        )
+        gkeys = point_keys[idx]
+        usable = (gkeys == cand_keys[:, :, None]) & (
+            cand_keys != INVALID_KEY
+        )[:, :, None]
+        pts = points[idx][..., :3]
+        diff = pts - q[:, None, None, :]
+        d2 = jnp.where(usable, jnp.sum(diff * diff, axis=-1), _FAR)
+        d2 = d2.reshape(nq, -1)
+        flat = idx.reshape(nq, -1)
+        best = jnp.argmin(d2, axis=-1)
+        rows = jnp.arange(nq)
+        bd = d2[rows, best]
+        row_b = flat[rows, best]
+        shard_id = jax.lax.axis_index(axis)
+        bidx = (row_b + shard_id * local_p).astype(jnp.int32)
+        bidx = jnp.where(bd < _FAR, bidx, _IMAX)
+        gmin, gidx = _combine_across_shards(axis, bd, bidx)
+        cols = [points[row_b][:, :3]]
+        if has_covs:
+            cols.append(covs[row_b].reshape(nq, 9))
+        if has_normals:
+            cols.append(normals[row_b])
+        payload = jnp.concatenate(cols, axis=1)
+        win = (bidx == gidx) & (bd < _FAR)
+        pay = jax.lax.psum(jnp.where(win[:, None], payload, 0.0), axis)
+        return gmin, pay
+
+    zeros = jnp.zeros((vm.capacity, 0), vm.points.dtype)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+    )
+    d2, pay = fn(
+        vm.point_keys,
+        vm.points,
+        vm.covs if has_covs else zeros,
+        vm.normals if has_normals else zeros,
+        vm.leaf_size,
+        query_xyz,
+    )
+    return d2, d2 < _FAR, pay
+
+
+def sharded_model_align(vm, source, init_T=None, mesh: Mesh = None, **kwargs):
+    """End-to-end registration against a mesh-sharded voxel map.
+
+    Shards the map across `mesh`, wraps it as a ShardedVoxelMapTarget
+    and runs the standard Registration engine — correspondence search
+    happens shard-locally with two [Q] pmins + one [Q,12] psum per
+    optimizer iteration; results match the single-device
+    voxelmap-as-target align.
+    """
+    from small_gicp_tpu.models.registration import Registration
+
+    if mesh is None:
+        raise ValueError("sharded_model_align requires a mesh")
+    if isinstance(vm, GaussianVoxelMap):
+        vm_sharded = shard_gaussian_voxelmap(vm, mesh)
+        kwargs.setdefault("registration_type", "vgicp")
+    elif isinstance(vm, IncrementalVoxelMap):
+        vm_sharded = shard_incremental_voxelmap(vm, mesh)
+        kwargs.setdefault("registration_type", "gicp")
+    else:
+        raise TypeError(f"unsupported map type {type(vm)!r}")
+    target = ShardedVoxelMapTarget(vm=vm_sharded, mesh=mesh)
+    return Registration(**kwargs).align(target, source, None, init_T)

@@ -149,3 +149,15 @@ def rotation_error_deg(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
     Eigen::AngleAxisd(T_a.inverse()*T_b) in registration_test.cpp:139-151)."""
     dR = jnp.swapaxes(Ra, -1, -2) @ Rb
     return jnp.linalg.norm(so3_log(dR), axis=-1) * (180.0 / jnp.pi)
+
+
+def rigid_inverse(T):
+    """Closed-form inverse of a rigid transform [R t; 0 1]."""
+    import jax.numpy as jnp
+
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti

@@ -8,19 +8,25 @@ double-precision math.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Opt-in on-device lane: SGT_TPU_TESTS=1 pytest -m tpu tests/
+# keeps the real TPU backend; default runs force the 8-device CPU mesh.
+_TPU_LANE = os.environ.get("SGT_TPU_TESTS", "") not in ("", "0")
+
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-# The environment may pre-register a TPU backend and force
-# jax_platforms via sitecustomize (overriding the JAX_PLATFORMS env
-# var), so pin the platform through the config API, which wins.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    # The environment may pre-register a TPU backend and force
+    # jax_platforms via sitecustomize (overriding the JAX_PLATFORMS env
+    # var), so pin the platform through the config API, which wins.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Single-core CI box: persistent compilation cache makes re-runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
@@ -51,3 +57,22 @@ def bundled_pair():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: runs compiled (non-interpreted) kernels on the real TPU chip; "
+        "opt-in via SGT_TPU_TESTS=1 pytest -m tpu",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _TPU_LANE:
+        return
+    skip_tpu = pytest.mark.skip(
+        reason="TPU lane is opt-in: SGT_TPU_TESTS=1 pytest -m tpu tests/"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)

@@ -1,0 +1,98 @@
+"""On-chip test lane: compiled (Mosaic, NOT interpreter-mode) Pallas
+kernels plus one end-to-end align and one jitted odometry chunk on the
+real TPU backend.
+
+Run with:  SGT_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu_lane.py
+
+Everything else in the suite exercises these code paths in interpreter
+mode / on CPU (tests/test_knn_pallas.py uses interpret=True); this lane
+is the only place Mosaic compilation itself is validated outside
+bench.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+requires_tpu = pytest.mark.skipif(
+    not _on_tpu(), reason="needs a real TPU backend (tunnel not available)"
+)
+
+
+@requires_tpu
+def test_knn_pallas_compiled_matches_bruteforce(rng):
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas
+    from small_gicp_tpu.ops.knn import brute_force_knn
+
+    pts = rng.uniform(-10, 10, size=(4096, 3)).astype(np.float32)
+    q = rng.uniform(-10, 10, size=(2048, 3)).astype(np.float32)
+    pts4 = jnp.concatenate(
+        [jnp.asarray(pts), jnp.ones((4096, 1), jnp.float32)], axis=1
+    )
+    d, i = knn_pallas(pts4, jnp.asarray(q), 20)  # compiled on device
+    d_ref, i_ref = brute_force_knn(jnp.asarray(pts), jnp.asarray(q), 20, 512)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-4)
+    assert np.mean(np.asarray(i) == np.asarray(i_ref)) > 0.999  # ties
+
+
+@requires_tpu
+def test_nearest_neighbor_pallas_compiled(rng):
+    from small_gicp_tpu.ops.knn_pallas import nearest_neighbor_pallas
+    from small_gicp_tpu.ops.knn import brute_force_knn
+
+    pts = rng.uniform(-10, 10, size=(4096, 3)).astype(np.float32)
+    q = pts[:1024] + rng.normal(scale=0.01, size=(1024, 3)).astype(np.float32)
+    pts4 = jnp.concatenate(
+        [jnp.asarray(pts), jnp.ones((4096, 1), jnp.float32)], axis=1
+    )
+    d, i = nearest_neighbor_pallas(pts4, jnp.asarray(q))
+    d_ref, i_ref = brute_force_knn(jnp.asarray(pts), jnp.asarray(q), 1, 512)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref)[:, 0], atol=1e-4)
+    assert np.mean(np.asarray(i) == np.asarray(i_ref)[:, 0]) > 0.999
+
+
+@requires_tpu
+def test_e2e_gicp_align_on_chip(bundled_pair):
+    import small_gicp_tpu as sgt
+    from small_gicp_tpu.utils.lie import rotation_error_deg
+
+    target_raw, source_raw, T_gt = bundled_pair
+    result = sgt.align(
+        target_raw.astype(np.float32), source_raw.astype(np.float32),
+        max_points=8192, downsampling_resolution=0.4,
+    )
+    T = np.asarray(result.T_target_source)
+    assert bool(result.converged)
+    assert rotation_error_deg(T[:3, :3], T_gt[:3, :3]) < 2.5
+    assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.2
+
+
+@requires_tpu
+def test_odometry_scan_chunk_on_chip(rng):
+    from small_gicp_tpu.models.odometry_scan import JitOdometry
+    from small_gicp_tpu.models.odometry import OdometryParams
+
+    base = rng.uniform(-20, 20, size=(6000, 3)).astype(np.float32)
+    scans = [
+        (base - np.array([0.4 * i, 0, 0], np.float32))
+        + rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+        for i in range(8)
+    ]
+    odo = JitOdometry(
+        OdometryParams(max_scan_points=8192, max_downsampled=8192,
+                       map_capacity=16384),
+        engine="gicp_model", chunk_frames=8,
+    )
+    poses = odo.feed(scans)
+    assert abs(poses[-1][0, 3] - 2.8) < 0.2
