@@ -27,11 +27,12 @@ def run_engine(engine, frames_dev, counts_dev, n_frames, params, chunk_frames=16
     from small_gicp_tpu.models.odometry_scan import JitOdometry
 
     odo = JitOdometry(params, engine=engine, chunk_frames=chunk_frames)
-    # Warm up the compiled chunk program on the first chunk shape.
-    t0 = time.perf_counter()
     poses = odo.feed_preloaded(frames_dev, counts_dev, n_real=n_frames)
-    wall = time.perf_counter() - t0
-    return poses, wall
+    # Steady-state ms/scan: the first chunk's wall time includes the
+    # one-off XLA compile, so report the mean over the remaining chunks.
+    steady = odo.chunk_times_ms[1:] or odo.chunk_times_ms
+    ms_per_scan = float(np.mean(steady)) / chunk_frames
+    return poses, ms_per_scan
 
 
 def main(argv=None):
@@ -49,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--max-downsampled", type=int, default=16384)
     ap.add_argument("--map-capacity", type=int, default=262144)
     ap.add_argument("--chunk-frames", type=int, default=16)
+    ap.add_argument("--offsets", type=int, default=7,
+                    help="model-map voxel search pattern (1/7/27); the "
+                         "reference default 1 is narrower than typical "
+                         "frame motion at 1 m voxels — see OdometryParams")
     ap.add_argument("--predict-motion", action="store_true",
                     help="constant-velocity initial guess (engines default "
                          "to the reference's raw-previous-pose seeding)")
@@ -87,17 +92,17 @@ def main(argv=None):
                           else args.max_downsampled),
             downsampling_resolution=args.downsample,
             predict_motion=args.predict_motion,
+            num_offsets=args.offsets,
         )
         # vgicp map capacity counts voxels, not points
         if engine == "vgicp_model":
             params.map_capacity = max(args.map_capacity // 4, 65536)
-        poses, wall = run_engine(
+        poses, ms = run_engine(
             engine, frames_dev, counts_dev, args.frames, params,
             chunk_frames=args.chunk_frames,
         )
         ape = ape_translation(poses, gt_rel)
         rpe = rpe_translation(poses, gt_rel, delta=args.rpe_delta)
-        ms = wall * 1e3 / args.frames
         results[engine] = dict(
             ape_mean=round(ape[0], 4), ape_std=round(ape[1], 4),
             rpe_mean=round(rpe[0], 4), rpe_std=round(rpe[1], 4),
@@ -105,7 +110,7 @@ def main(argv=None):
         )
         print(f"{engine}: APE {ape[0]:.3f}±{ape[1]:.3f} m, "
               f"RPE({args.rpe_delta}) {rpe[0]:.3f}±{rpe[1]:.3f} m, "
-              f"{ms:.1f} ms/scan (incl. compile)", flush=True)
+              f"{ms:.1f} ms/scan (steady-state)", flush=True)
         if args.save_prefix:
             write_trajectory(f"{args.save_prefix}_{engine}.txt", poses)
 

@@ -265,6 +265,7 @@ class JitOdometry:
                  covariance_mode: str = "knn"):
         self.chunk_frames = chunk_frames
         self.covariance_mode = covariance_mode
+        self.chunk_times_ms: list = []  # wall ms per chunk (first includes compile)
         self.params = params or OdometryParams()
         p = self.params
         dtype = jnp.dtype(p.dtype)
@@ -274,10 +275,12 @@ class JitOdometry:
                 capacity=p.map_capacity,
                 dtype=dtype,
                 has_covs=True,
+                num_offsets=p.num_offsets,
             )
         elif engine == "vgicp_model":
             vm = GaussianVoxelMap.empty(
-                p.voxel_resolution, capacity=p.map_capacity, dtype=dtype
+                p.voxel_resolution, capacity=p.map_capacity, dtype=dtype,
+                num_offsets=p.num_offsets,
             )
         elif engine in ("gicp_scan", "plane_icp_scan", "icp_scan"):
             # Scan-to-scan: the "map" is the previous frame, carried as a
@@ -379,11 +382,17 @@ class JitOdometry:
             nz = np.nonzero(counts_host > 0)[0]
             n_real = int(nz[-1]) + 1 if nz.size else 0
         out = []
+        import time as _time
+
         for start in range(0, f_pad, fc):
-            out.append(self._run_chunk(
+            t0 = _time.perf_counter()
+            poses_chunk = self._run_chunk(
                 jax.lax.dynamic_slice_in_dim(frames_dev, start, fc),
                 jax.lax.dynamic_slice_in_dim(counts_dev, start, fc),
-            ))
+            )
+            jax.block_until_ready(poses_chunk)
+            self.chunk_times_ms.append((_time.perf_counter() - t0) * 1e3)
+            out.append(poses_chunk)
         if out:
             poses = np.concatenate([np.asarray(b) for b in out])[:n_real]
         else:

@@ -87,3 +87,27 @@ def test_jit_scan_to_scan_matches_python(engine, rtype):
     np.testing.assert_allclose(jit_poses[-1], py_poses[-1], rtol=1e-4, atol=1e-5)
     # and it tracks the true motion
     assert abs(jit_poses[-1][0, 3] - 0.45) < 0.05
+
+
+def test_synthetic_loop_tracking_with_offsets7():
+    """Trajectory-scale smoke: the jitted scan-to-model loop tracks a
+    curved synthetic LiDAR sequence at cm level when the model map
+    searches the 7-voxel neighborhood (see OdometryParams.num_offsets —
+    at ~1 m frame motion the reference-default single-voxel pattern has
+    a narrower basin than the motion and can slide; the full 600-frame
+    result lives in BENCHMARK.md)."""
+    from small_gicp_tpu.utils.synthetic import generate_sequence
+    from small_gicp_tpu.models.odometry_scan import JitOdometry
+    from small_gicp_tpu.models.odometry import OdometryParams
+
+    scans, gt = generate_sequence(n_frames=10, seed=3, rings=24,
+                                  azimuth_steps=384)
+    gt_rel = np.linalg.inv(gt[0])[None] @ gt
+    odo = JitOdometry(
+        OdometryParams(max_scan_points=10240, max_downsampled=10240,
+                       map_capacity=131072, num_offsets=7),
+        engine="gicp_model", chunk_frames=5,
+    )
+    poses = odo.feed(scans)
+    err = np.linalg.norm(poses[:, :3, 3] - gt_rel[:, :3, 3], axis=1)
+    assert err.max() < 0.05, err
