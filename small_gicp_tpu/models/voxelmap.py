@@ -146,6 +146,12 @@ class GaussianVoxelMap:
             lru_horizon=int(horizon), lru_clear_cycle=int(clear_cycle)
         )
 
+    def set_search_offsets(self, num_offsets: int):
+        """Returns a map searching the 1/7/27-voxel neighborhood
+        (incremental_voxelmap.hpp:157-186). Static pytree field — using
+        the returned map triggers one recompile of dependent programs."""
+        return self.replace(num_offsets=int(num_offsets))
+
     def size(self) -> jax.Array:
         """Number of occupied voxels (bindings parity: voxelmap.cpp)."""
         return self.num_voxels
@@ -510,6 +516,12 @@ class IncrementalVoxelMap:
         return self.replace(
             lru_horizon=int(horizon), lru_clear_cycle=int(clear_cycle)
         )
+
+    def set_search_offsets(self, num_offsets: int):
+        """Returns a map searching the 1/7/27-voxel neighborhood
+        (incremental_voxelmap.hpp:157-186). Static pytree field — using
+        the returned map triggers one recompile of dependent programs."""
+        return self.replace(num_offsets=int(num_offsets))
 
     def knn_search(self, query_xyz: jax.Array, k: int):
         """Batched kNN over the offset neighborhood
