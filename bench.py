@@ -81,8 +81,9 @@ def main():
     # (and block_until_ready can return before remote execution
     # finishes), which would otherwise swamp the per-registration time.
     # The tunnel adds ~30 ms of fixed per-program-call latency, so run
-    # enough registrations per call that the fixed cost is noise.
-    n_iters = 100
+    # enough registrations per call that the fixed cost is noise
+    # (256 regs x ~1.7 ms >> 30 ms).
+    n_iters = 256
 
     @jax.jit
     def run_many(init_Ts):

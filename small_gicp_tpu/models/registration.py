@@ -211,6 +211,7 @@ def _converged(delta, rotation_eps, translation_eps):
         "max_iterations",
         "max_inner_iterations",
         "verbose",
+        "use_fused",
     ),
 )
 def align_impl(
@@ -233,6 +234,7 @@ def align_impl(
     dof_mask: Optional[jax.Array] = None,
     dof_lambda: float = 1e9,
     verbose: bool = False,
+    use_fused: str = "auto",
 ) -> RegistrationResult:
     """Jitted registration. See module docstring for semantics.
 
@@ -240,6 +242,13 @@ def align_impl(
     (iter / error / lambda / |dt| / |dr|, like optimizer.hpp:48-49 and
     :116-118) through jax.debug.print — it works inside the jitted loop
     and under the device tunnel, at the cost of host sync per line.
+
+    use_fused: "auto" routes the plain-GICP / plain-cloud / f32 / TPU
+    case through the single fused Pallas search+linearize kernel
+    (ops/gicp_fused_pallas.py — one kernel group per iteration instead
+    of the NN + gather + weights + einsum chain); "never" keeps the XLA
+    path (callers that vmap this function pass "never": pallas_call
+    with scratch does not batch).
     """
     dtype = source.points.dtype
     init_T = jnp.asarray(init_T, dtype)
@@ -259,17 +268,54 @@ def align_impl(
             max_dist_sq,
         )
 
-    def linearize(corr, T):
-        H, b, e = factors.linearize(
-            corr, T, source.points, robust_kernel, robust_c
-        )
+    def _dof(H):
         if dof_mask is not None:
             # RestrictDoFFactor: H += λ·diag(|mask−1|)
             # (factors/general_factor.hpp:57-67).
             H = H + jnp.asarray(dof_lambda, dtype) * jnp.diag(
                 jnp.abs(jnp.asarray(dof_mask, dtype) - 1.0)
             )
-        return H, b, e
+        return H
+
+    fused_ok = (
+        use_fused == "auto"
+        and registration_type == GICP
+        and robust_kernel is None
+        and isinstance(target, PointCloud)
+        and isinstance(target_tree, (KdTree, type(None)))
+        and dtype == jnp.float32
+        and target.covs is not None
+        and source.covs is not None
+        and jax.default_backend() == "tpu"
+    )
+
+    def search_linearize(T):
+        """One optimizer linearization: (corr, H, b, e, corr16) at T;
+        corr16 is the fused path's raw lane-major buffer (None on the
+        XLA path)."""
+        if fused_ok:
+            from small_gicp_tpu.ops.gicp_fused_pallas import (
+                gicp_linearize_pallas,
+            )
+
+            H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+                target.points, target.covs, source.points, source.covs,
+                T, source.num_points, max_dist_sq,
+            )
+            corr = Correspondences(
+                target_mu=mu, W=W, mask=mask,
+                target_idx=jnp.zeros((source.points.shape[0],), jnp.int32),
+            )
+            # e is None: the LM body folds the current-pose error into
+            # the batched trial evaluation (one fused kernel over K+1
+            # poses), saving a whole error pass per iteration; the GN
+            # body computes it explicitly.
+            return corr, _dof(H), b, None, corr16
+        corr = search(T)
+        H, b, e = factors.linearize(
+            corr, T, source.points, robust_kernel, robust_c
+        )
+        return corr, _dof(H), b, e, None
 
     def err_multi(corr, Ts):
         return factors.error_multi(
@@ -309,8 +355,9 @@ def align_impl(
 
         def body(s: _OptState) -> _OptState:
             active = (~s.converged) & (s.i < max_iterations)
-            corr = search(s.T)
-            H, b, e = linearize(corr, s.T)
+            corr, H, b, e, _corr16 = search_linearize(s.T)
+            if e is None:
+                e = factors.error(corr, s.T, source.points)
             delta = solve6x6(H, -b, jnp.asarray(gn_lambda, dtype))
             conv = _converged(delta, rot_eps, trans_eps)
             # GN applies the update even on the converging iteration
@@ -346,8 +393,7 @@ def align_impl(
 
         def body(s: _OptState) -> _OptState:
             active = (~s.converged) & (~s.failed) & (s.i < max_iterations)
-            corr = search(s.T)
-            H, b, e0 = linearize(corr, s.T)
+            corr, H, b, e0, corr16 = search_linearize(s.T)
 
             # Inner lambda trials (optimizer.hpp:107-134), BATCHED: the
             # reference tries lambdas sequentially, but trial j's lambda
@@ -363,7 +409,24 @@ def align_impl(
             deltas = jax.vmap(lambda l: solve6x6(H, -b, l))(lambdas)  # [K,6]
             Ts = jnp.einsum("ab,kbc->kac", s.T, jax.vmap(se3_exp)(deltas),
                                precision=jax.lax.Precision.HIGHEST)
-            errs = err_multi(corr, Ts)  # [K]
+            if e0 is None:
+                # Fused path: current-pose error rides in the same
+                # batched kernel as the K trials (one pallas_call, same
+                # precision on both sides of the accept test).
+                from small_gicp_tpu.ops.gicp_fused_pallas import (
+                    gicp_error_multi_pallas,
+                )
+
+                errs_all = gicp_error_multi_pallas(
+                    corr16,
+                    source.points,
+                    jnp.concatenate([s.T[None], Ts], axis=0),
+                    source.num_points,
+                )
+                e0 = errs_all[0]
+                errs = errs_all[1:]
+            else:
+                errs = err_multi(corr, Ts)  # [K]
             ok = errs <= e0
             accepted = jnp.any(ok)
             j = jnp.argmax(ok)  # first accepted trial

@@ -45,7 +45,11 @@ def _batched_align_fn(**static_kwargs):
     models/registration.py)."""
 
     def one(target, source, init_T):
-        return align_impl(target, source, None, init_T, **static_kwargs)
+        # use_fused="never": pallas_call with VMEM scratch does not
+        # batch under vmap; lanes take the XLA linearize path.
+        return align_impl(
+            target, source, None, init_T, use_fused="never", **static_kwargs
+        )
 
     return jax.vmap(one)
 

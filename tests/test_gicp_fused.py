@@ -1,0 +1,108 @@
+"""Parity of the fused GICP linearize kernel vs the XLA reference path
+(interpreter mode; the compiled kernel is covered by the tpu lane)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.models import factors
+from small_gicp_tpu.models.registration import _search_correspondences
+from small_gicp_tpu.ops.gicp_fused_pallas import gicp_linearize_pallas
+from small_gicp_tpu.utils.lie import se3_exp
+
+
+def _pair(rng, n=700, m=900):
+    tp = rng.uniform(-8, 8, size=(m, 3)).astype(np.float32)
+    tp[:, 2] = np.sin(tp[:, 0]) * 0.5 + 0.05 * rng.normal(size=m)
+    sp = tp[rng.permutation(m)[:n]] + rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+    def covs(k):
+        a = rng.normal(size=(k, 3, 3)).astype(np.float32) * 0.05
+        return np.einsum("nij,nkj->nik", a, a) + np.eye(3, dtype=np.float32) * 0.01
+    target = PointCloud.from_points(tp).replace(covs=jnp.asarray(covs(m)))
+    source = PointCloud.from_points(sp).replace(covs=jnp.asarray(covs(n)))
+    return target, source
+
+
+def test_fused_matches_xla_linearize(rng):
+    target, source = _pair(rng)
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    max_d2 = jnp.asarray(1.0, jnp.float32)
+
+    corr = _search_correspondences(
+        "gicp", target, None, source.points, source.num_points,
+        source.covs, T, max_d2,
+    )
+    H_ref, b_ref, e_ref = factors.linearize(corr, T, source.points)
+
+    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+        target.points, target.covs, source.points, source.covs,
+        T, source.num_points, max_d2, interpret=True,
+    )
+    assert np.array_equal(np.asarray(mask), np.asarray(corr.mask))
+    np.testing.assert_allclose(np.asarray(mu)[np.asarray(mask)],
+                               np.asarray(corr.target_mu)[np.asarray(mask)],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W)[np.asarray(mask)],
+                               np.asarray(corr.W)[np.asarray(mask)],
+                               rtol=2e-3, atol=2e-3)
+    scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+    np.testing.assert_allclose(np.asarray(H) / scale,
+                               np.asarray(H_ref) / scale, atol=5e-4)
+    bscale = max(1.0, float(np.abs(np.asarray(b_ref)).max()))
+    np.testing.assert_allclose(np.asarray(b) / bscale,
+                               np.asarray(b_ref) / bscale, atol=5e-4)
+    # frozen-correspondence error through the shared err_multi path
+    e_multi = factors.error_multi(
+        factors.Correspondences(target_mu=mu, W=W, mask=mask,
+                                target_idx=jnp.zeros_like(mask, jnp.int32)),
+        T[None], source.points,
+    )[0]
+    np.testing.assert_allclose(float(e_multi), float(e_ref), rtol=1e-4)
+
+
+def test_fused_handles_padding_and_empty(rng):
+    target, source = _pair(rng, n=200, m=300)
+    # mark most source rows invalid
+    source = source.replace(num_points=jnp.asarray(37, jnp.int32))
+    T = jnp.eye(4, dtype=jnp.float32)
+    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+        target.points, target.covs, source.points, source.covs,
+        T, source.num_points, jnp.asarray(1.0, jnp.float32), interpret=True,
+    )
+    assert int(np.asarray(mask)[37:].sum()) == 0
+    assert np.isfinite(np.asarray(H)).all() and np.isfinite(np.asarray(b)).all()
+
+    # fully empty source: zero system
+    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+        target.points, target.covs, source.points, source.covs,
+        T, jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
+        interpret=True,
+    )
+    assert not bool(np.asarray(mask).any())
+    assert np.allclose(np.asarray(H), 0.0) and np.allclose(np.asarray(b), 0.0)
+
+
+def test_trials_kernel_matches_error_multi(rng):
+    from small_gicp_tpu.ops.gicp_fused_pallas import gicp_error_multi_pallas
+
+    target, source = _pair(rng)
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+        target.points, target.covs, source.points, source.covs,
+        T, source.num_points, jnp.asarray(1.0, jnp.float32), interpret=True,
+    )
+    corr = factors.Correspondences(
+        target_mu=mu, W=W, mask=mask,
+        target_idx=jnp.zeros(mask.shape, jnp.int32),
+    )
+    Ts = jnp.stack([
+        T,
+        se3_exp(jnp.asarray([0.01, 0.0, -0.02, 0.02, 0.03, -0.05], jnp.float32)),
+        jnp.eye(4, dtype=jnp.float32),
+    ])
+    ref = factors.error_multi(corr, Ts, source.points)
+    got = gicp_error_multi_pallas(
+        corr16, source.points, Ts, source.num_points, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)

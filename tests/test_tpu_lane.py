@@ -96,3 +96,38 @@ def test_odometry_scan_chunk_on_chip(rng):
     )
     poses = odo.feed(scans)
     assert abs(poses[-1][0, 3] - 2.8) < 0.2
+
+
+@requires_tpu
+def test_fused_gicp_linearize_compiled(rng):
+    """Mosaic-compiled fused search+linearize matches the XLA path."""
+    from small_gicp_tpu.point_cloud import PointCloud
+    from small_gicp_tpu.models import factors
+    from small_gicp_tpu.models.registration import _search_correspondences
+    from small_gicp_tpu.ops.gicp_fused_pallas import gicp_linearize_pallas
+    from small_gicp_tpu.utils.lie import se3_exp
+
+    m, n = 3000, 2500
+    tp = rng.uniform(-8, 8, size=(m, 3)).astype(np.float32)
+    sp = tp[rng.permutation(m)[:n]] + rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+    def covs(k):
+        a = rng.normal(size=(k, 3, 3)).astype(np.float32) * 0.05
+        return np.einsum("nij,nkj->nik", a, a) + np.eye(3, dtype=np.float32) * 0.01
+    target = PointCloud.from_points(tp).replace(covs=jnp.asarray(covs(m)))
+    source = PointCloud.from_points(sp).replace(covs=jnp.asarray(covs(n)))
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    max_d2 = jnp.asarray(1.0, jnp.float32)
+
+    corr = _search_correspondences(
+        "gicp", target, None, source.points, source.num_points,
+        source.covs, T, max_d2,
+    )
+    H_ref, b_ref, _ = factors.linearize(corr, T, source.points)
+    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+        target.points, target.covs, source.points, source.covs,
+        T, source.num_points, max_d2,
+    )
+    assert np.array_equal(np.asarray(mask), np.asarray(corr.mask))
+    scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+    np.testing.assert_allclose(np.asarray(H) / scale,
+                               np.asarray(H_ref) / scale, atol=1e-3)
