@@ -47,7 +47,12 @@ class OdometryParams:
     # TPU-specific static capacities:
     max_scan_points: int = 131072  # raw scan capacity
     max_downsampled: int = 32768  # post-voxelgrid capacity
-    map_capacity: int = 131072  # voxels in the model map
+    map_capacity: int = 131072  # point rows in the model map
+    # Voxel slots of the incremental map (None → map_capacity // 4; the
+    # per-lookup directory search and per-insert directory sort are O(V),
+    # so a tight bound pays directly in ms/scan — live voxels in a
+    # LRU-horizon-bounded map run ~2-4 points/voxel).
+    map_voxel_capacity: Optional[int] = None
     dtype: str = "float32"
     # Factor used by the scan-to-scan engines (icp / plane_icp / gicp).
     registration_type: str = "gicp"
@@ -163,6 +168,7 @@ class ScanToModelOdometry(_OdometryBase):
             has_covs=True,
             cell_capacity=10,
             num_offsets=p.num_offsets,
+            voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
         self.T_world = jnp.eye(4, dtype=p.dtype)
         self.T_delta = jnp.eye(4, dtype=p.dtype)

@@ -276,6 +276,7 @@ class JitOdometry:
                 dtype=dtype,
                 has_covs=True,
                 num_offsets=p.num_offsets,
+                voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
             )
         elif engine == "vgicp_model":
             vm = GaussianVoxelMap.empty(

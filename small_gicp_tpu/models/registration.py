@@ -105,37 +105,27 @@ def _search_correspondences(
         idx = jnp.zeros((n,), jnp.int32)  # payload already gathered
     elif isinstance(target, GaussianVoxelMap):
         sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
-        # Fused [V,12] mean+cov table → one payload gather per iteration
-        # (the concat is loop-invariant and hoisted by XLA). NOTE: fusing
+        # The slot-table payload is already one fused [mean|cov|count]
+        # row table — one gather per iteration, no concat. NOTE: fusing
         # this INTO the NN's own [Q,K,*] gather measures 8x slower — the
         # wide 3-D gather hits a bad XLA path — so it stays separate.
-        v = target.means.shape[0]
-        table = jnp.concatenate(
-            [target.means[:, :3], target.covs.reshape(v, 9)], axis=1
-        )
-        rows = table[idx]
+        rows = target.payload[idx]
         mu = rows[:, :3]
         t_normals = None
-        t_covs = rows[:, 3:12].reshape(-1, 3, 3)
+        t_covs = rows[:, 4:13].reshape(-1, 3, 3)
     elif isinstance(target, IncrementalVoxelMap):
         sq_dists, idx, found = target.nearest_neighbor_search(transed[:, :3])
-        nf = target.normals_flat()
-        cf = target.covs_flat()
-        pcols = [target.points_flat()[:, :3]]
-        if nf is not None:
-            pcols.append(nf)
-        if cf is not None:
-            pcols.append(cf.reshape(cf.shape[0], 9))
-        table = jnp.concatenate(pcols, axis=1)
-        rows = table[idx]
+        # The slot-table payload is already one fused
+        # [point | normal? | cov?] row table — one gather, no concat.
+        rows = target.payload[idx]
         mu = rows[:, :3]
-        off = 3
+        off = 4
         t_normals = None
-        if nf is not None:
+        if target.has_normals:
             t_normals = rows[:, off:off + 4]
             off += 4
         t_covs = None
-        if cf is not None:
+        if target.has_covs:
             t_covs = rows[:, off:off + 9].reshape(-1, 3, 3)
     else:
         # Any ANN structure plugs in as the target searcher, like the

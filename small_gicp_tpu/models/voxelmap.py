@@ -30,7 +30,7 @@ size capacities so the LRU horizon, not overflow, bounds the map.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,17 +52,21 @@ class GaussianVoxelMap:
     """VGICP Gaussian voxel map (pytree).
 
     Fixed-capacity equivalent of the reference's
-    GaussianVoxelMap = IncrementalVoxelMap<GaussianVoxel>.
-    `keys` is sorted ascending with INVALID_KEY padding at the tail, so
-    binary search doubles as the hash lookup.
+    GaussianVoxelMap = IncrementalVoxelMap<GaussianVoxel>. Same
+    slot-table design as the IncrementalVoxelMap below: each voxel
+    lives at a fixed slot whose fused [mean|cov|count] payload row is
+    updated in place (a scan-row scatter-add of per-voxel moment sums),
+    and a narrow sorted key→slot directory — rebuilt per insert with one
+    [V]-row sort — serves binary-search lookup. Insert payload traffic
+    is O(scan); nothing map-sized moves.
     """
 
-    keys: jax.Array  # [V] int64 sorted voxel keys (INVALID_KEY padded)
-    means: jax.Array  # [V,4] voxel means (homogeneous)
-    covs: jax.Array  # [V,3,3] voxel covariances
-    counts: jax.Array  # [V] number of points accumulated per voxel
+    dir_keys: jax.Array  # [V] int64 occupied voxel keys sorted, INVALID pad
+    dir_vals: jax.Array  # [V] int32 slot id per directory entry
+    vox_keys: jax.Array  # [V] int64 key of the voxel at each slot; INVALID = free
+    payload: jax.Array  # [V,14] fused finalized rows: mean(4) | cov(9) | count(1)
+    lru: jax.Array  # [V] int32 last-touch stamp per slot
     num_voxels: jax.Array  # scalar int32
-    lru: jax.Array  # [V] int32 last-touch stamps
     lru_counter: jax.Array  # scalar int32
     leaf_size: jax.Array  # scalar
 
@@ -73,7 +77,21 @@ class GaussianVoxelMap:
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.vox_keys.shape[0]
+
+    # Field views kept from the compact-table era (voxel rows live at
+    # slot positions; mask with valid_mask()).
+    @property
+    def means(self) -> jax.Array:
+        return self.payload[:, 0:4]
+
+    @property
+    def covs(self) -> jax.Array:
+        return self.payload[:, 4:13].reshape(-1, 3, 3)
+
+    @property
+    def counts(self) -> jax.Array:
+        return self.payload[:, 13]
 
     # ------------------------------------------------------------------
 
@@ -86,13 +104,14 @@ class GaussianVoxelMap:
         lru_horizon: int = 100,
         lru_clear_cycle: int = 10,
     ) -> "GaussianVoxelMap":
+        v = -(-capacity // 8) * 8  # multiple of 8: mesh shardability
         return GaussianVoxelMap(
-            keys=jnp.full((capacity,), INVALID_KEY, jnp.int64),
-            means=jnp.zeros((capacity, 4), dtype),
-            covs=jnp.zeros((capacity, 3, 3), dtype),
-            counts=jnp.zeros((capacity,), dtype),
+            dir_keys=jnp.full((v,), INVALID_KEY, jnp.int64),
+            dir_vals=jnp.arange(v, dtype=jnp.int32),
+            vox_keys=jnp.full((v,), INVALID_KEY, jnp.int64),
+            payload=jnp.zeros((v, 14), dtype),
+            lru=jnp.zeros((v,), jnp.int32),
             num_voxels=jnp.asarray(0, jnp.int32),
-            lru=jnp.zeros((capacity,), jnp.int32),
             lru_counter=jnp.asarray(0, jnp.int32),
             leaf_size=jnp.asarray(leaf_size, dtype),
             num_offsets=num_offsets,
@@ -170,43 +189,40 @@ class GaussianVoxelMap:
         return self.covs
 
     def valid_mask(self) -> jax.Array:
-        return jnp.arange(self.capacity) < self.num_voxels
+        return self.vox_keys != INVALID_KEY
 
 
 @jax.jit
 def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxelMap:
-    """O(scan) Gaussian-map insert: sort only the incoming scan, then
-    merge into the already-sorted voxel table.
+    """O(scan) slot-table Gaussian-map insert: voxel rows update in
+    place; nothing map-sized moves (the merged-sort predecessor gathered
+    the full [V, 14] payload every insert).
 
-    The first implementation concatenated map+scan and re-sorted all
-    cap+n rows with full payload every insert (~22 ms at 131k capacity /
-    16k scan on a v5e chip, dominated by multi-operand sort passes and
-    segment scatters). TPU scatters serialize per row, so this version
-    is built from sorts, gathers, prefix sums and binary searches ONLY:
       1. sort the scan by voxel key (one n-row sort) and reduce each
-         voxel run with prefix-sum differences (no segment scatter),
-      2. for runs whose voxel already exists, GATHER the old voxel's
-         sums into the run total (un-finalize/re-accumulate/finalize of
-         gaussian_voxelmap.hpp:33-53 as running sums) and mark the old
-         row dead,
-      3. merge surviving old rows and new per-voxel rows with ONE
-         stable 2-operand sort of (key, source-id) over cap+n rows, and
-      4. materialize the table with one fused payload gather.
+         voxel run to moment sums with prefix-sum differences,
+      2. directory-lookup each run; for existing voxels GATHER the old
+         slot's row, un-finalize (row * count), add the run sums, and
+         re-finalize — gaussian_voxelmap.hpp:33-53 as running sums,
+      3. allocate free slots to new voxels in ascending-key order,
+      4. scatter the finalized rows at their slots (head rows only — a
+         scan-sized scatter), and
+      5. re-sort the [V]-row directory.
 
     LRU semantics match the reference exactly: every voxel receiving
     points this insert is stamped with the PRE-increment counter
     (incremental_voxelmap.hpp:63,70), the counter increments after the
     scan, and eviction on clear cycles drops voxels with
-    stamp + horizon < counter (:74-79). Empty inserts (padding frames in
-    the jitted odometry scan) are full no-ops and do not advance the
-    clock.
+    stamp + horizon < counter (:74-79) — uniformly covering voxels born
+    this call. Empty inserts (padding frames in the jitted odometry
+    scan) are full no-ops and do not advance the clock.
 
-    Capacity overflow drops the highest-key merged voxels (the merged
-    table's tail) — same documented policy as the IncrementalVoxelMap.
+    Slot exhaustion drops NEW voxels from the highest-key end; existing
+    voxels are untouched (same documented policy as IncrementalVoxelMap).
     """
     V = vm.capacity
     n = points.shape[0]
-    dtype = vm.means.dtype
+    dtype = vm.payload.dtype
+    imax = jnp.iinfo(jnp.int32).max
 
     stamp_val = vm.lru_counter  # PRE-increment stamp
     nonempty = num_points > 0
@@ -239,100 +255,72 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     u_sum = pref[jnp.where(seg_first, run_end, pos32)] - pref[pos32]
     # (non-head rows give zero rows; only head rows are ever gathered)
 
-    # --- 2. fold existing voxels into the new rows (gather direction) --
+    # --- 2. fold existing voxels into the run sums ---------------------
     # method="sort": the default binary-search lowering is a sequential
     # while_loop (measured 8-28 ms at these sizes); the sort-based
     # lowering is a single 2-operand sort (~1 ms).
-    lo = jnp.searchsorted(vm.keys, k_s, method="sort")
+    lo = jnp.searchsorted(vm.dir_keys, k_s, method="sort")
     lo_c = jnp.clip(lo, 0, V - 1)
-    exists = seg_first & (vm.keys[lo_c] == k_s)
-    old_tab = jnp.concatenate(
-        [
-            vm.means * vm.counts[:, None],
-            vm.covs.reshape(V, 9) * vm.counts[:, None],
-            vm.counts[:, None],
-        ],
-        axis=1,
-    )  # [V, 14] un-finalized sums
-    u_sum = u_sum + jnp.where(exists[:, None], old_tab[lo_c], 0.0)
+    hit = (vm.dir_keys[lo_c] == k_s) & valid
+    slot_hit = jnp.where(hit, vm.dir_vals[lo_c], 0)
+    orow = vm.payload[slot_hit]  # [n, 14] finalized old rows
+    old_unfin = orow[:, 0:13] * orow[:, 13:14]
+    u_sum = u_sum + jnp.where(
+        (hit & seg_first)[:, None],
+        jnp.concatenate([old_unfin, orow[:, 13:14]], axis=1),
+        0.0,
+    )
 
-    # --- 3. keep masks + one stable merge sort -------------------------
-    # old rows matched by the scan live on as folded new rows (stamped
-    # with the current counter, like the reference's info.lru refresh)
-    posm = jnp.searchsorted(k_s, vm.keys, method="sort")
-    posm_c = jnp.clip(posm, 0, n - 1)
-    touched = (k_s[posm_c] == vm.keys) & (vm.keys != INVALID_KEY)
+    # --- 3. allocate free slots to new voxels (ascending-key order) ----
+    new_head = seg_first & ~hit
+    free = vm.vox_keys == INVALID_KEY
+    fslot = jnp.where(free, jnp.arange(V, dtype=jnp.int32), imax)
+    fsorted = jax.lax.sort(fslot)
+    nh = new_head.astype(jnp.int32)
+    r = jnp.cumsum(nh) - nh
+    num_free = jnp.sum(free).astype(jnp.int32)
+    cand = fsorted[jnp.clip(r, 0, V - 1)]
+    alloc = jnp.where(new_head & (r < num_free) & (cand != imax), cand, V)
+    slot_all = jnp.where(hit, slot_hit, alloc)
+    write_head = seg_first & (slot_all < V)
 
+    # --- 4. finalize + scatter head rows at their slots ----------------
+    cnt = jnp.maximum(u_sum[:, 13:14], 1.0)
+    fin = jnp.concatenate([u_sum[:, 0:13] / cnt, u_sum[:, 13:14]], axis=1)
+    tslot = jnp.where(write_head, slot_all, V)
+    payload = vm.payload.at[tslot].set(fin, mode="drop")
+    vox_keys = vm.vox_keys.at[tslot].set(k_s, mode="drop")
+    lru = vm.lru.at[tslot].set(
+        jnp.full((n,), stamp_val, jnp.int32), mode="drop"
+    )
+
+    # --- 5. eviction + directory rebuild -------------------------------
     do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
-    expired = (vm.lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
-    keep_old = (vm.keys != INVALID_KEY) & ~touched & ~(do_clear & expired)
-    born_expired = do_clear & (
-        (stamp_val.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
-    )
-    keep_new = seg_first & ~born_expired
+    expired = (lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
+    kill = do_clear & expired & (vox_keys != INVALID_KEY)
+    vox_keys = jnp.where(kill, INVALID_KEY, vox_keys)
+    occupied = vox_keys != INVALID_KEY
 
-    mk = jnp.concatenate(
-        [
-            jnp.where(keep_old, vm.keys, INVALID_KEY),
-            jnp.where(keep_new, k_s, INVALID_KEY),
-        ]
+    dk, dv = jax.lax.sort(
+        (vox_keys, jnp.arange(V, dtype=jnp.int32)), num_keys=1
     )
-    msrc = jnp.concatenate(
-        [jnp.arange(V, dtype=jnp.int32), V + pos32]
-    )
-    sk, ssrc = jax.lax.sort((mk, msrc), num_keys=1, is_stable=True)
-    out_keys = sk[:V]
-    g = ssrc[:V]
-    empty = out_keys == INVALID_KEY
-
-    # --- 4. fused payload gather + finalize ----------------------------
-    ftab = jnp.concatenate([old_tab, u_sum], axis=0)
-    rows = ftab[g]
-    ltab = jnp.concatenate([vm.lru, jnp.full((n,), stamp_val, jnp.int32)])
-    out_lru = jnp.where(empty, 0, ltab[g])
-    out_cnt = jnp.where(empty, 0.0, rows[:, 13])
-    safe = jnp.maximum(out_cnt, 1.0)
-    out_means = jnp.where(empty[:, None], 0.0, rows[:, 0:4]) / safe[:, None]
-    out_covs = jnp.where(empty[:, None], 0.0, rows[:, 4:13]).reshape(V, 3, 3) / safe[
-        :, None, None
-    ]
-    total = jnp.sum(keep_old).astype(jnp.int32) + jnp.sum(keep_new).astype(jnp.int32)
 
     return vm.replace(
-        keys=out_keys,
-        means=out_means,
-        covs=out_covs,
-        counts=out_cnt,
-        num_voxels=jnp.minimum(total, V),
-        lru=out_lru,
+        dir_keys=dk,
+        dir_vals=dv,
+        vox_keys=vox_keys,
+        payload=payload,
+        lru=lru,
+        num_voxels=jnp.sum(occupied).astype(jnp.int32),
         lru_counter=counter,
     )
 
-
-
-def _key_bit_cols(keys: jax.Array, dtype) -> Tuple[jax.Array, int]:
-    """[V] int64 keys as bit-pattern columns of `dtype` (for fusing the
-    key column into a float gather table; TPU gather cost is per-row, so
-    one wide row beats separate key/payload gathers). Returns
-    ([V, n] cols, n) with n = 1 for f64, 2 for f32."""
-    if dtype == jnp.float64:
-        return jax.lax.bitcast_convert_type(keys, jnp.float64)[:, None], 1
-    return jax.lax.bitcast_convert_type(keys, jnp.float32), 2
-
-
-def _bits_to_key(bits: jax.Array) -> jax.Array:
-    """Bit-pattern columns ([...,1] f64 or [...,2] f32) back to int64
-    (the f32→int64 bitcast consumes the trailing size-2 dim)."""
-    if bits.dtype == jnp.float64:
-        return jax.lax.bitcast_convert_type(bits[..., 0], jnp.int64)
-    return jax.lax.bitcast_convert_type(bits, jnp.int64)
 
 
 @jax.jit
 def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     cap = vm.capacity
     q = query_xyz.shape[0]
-    dtype = vm.means.dtype
     offsets = neighbor_offsets(vm.num_offsets)  # [K,3]
     inv_leaf = (1.0 / vm.leaf_size).astype(query_xyz.dtype)
     center = voxel_coords(query_xyz, inv_leaf)  # [Q,3]
@@ -343,30 +331,36 @@ def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     # sequential gather steps; the sort-based lowering is ~9x faster on
     # TPU for large query batches.
     pos = jnp.searchsorted(
-        vm.keys, cand_keys.reshape(-1), method="sort"
+        vm.dir_keys, cand_keys.reshape(-1), method="sort"
     ).reshape(q, -1)
     pos = jnp.clip(pos, 0, cap - 1)
 
-    # ONE fused gather of [key bits | mean] rows; the table concat is
-    # loop-invariant across optimizer iterations and hoisted. (Folding
-    # the 9 covariance columns in as well measures 8x SLOWER — the wide
+    # ONE fused [V, 3]-f32 directory gather (key bits + slot bits), then
+    # a [Q,K,3] mean gather at the slots. (Folding the 9 covariance
+    # columns into the query-side gather measures 8x SLOWER — the wide
     # [Q,K,14] gather hits a bad XLA path — so payload gathers stay in
     # the caller.)
-    keycols, nk = _key_bit_cols(vm.keys, dtype)
-    table = jnp.concatenate([keycols, vm.means[:, :3]], axis=1)
-    rows_g = table[pos]  # [Q,K,nk+3]
-
-    gkeys = _bits_to_key(rows_g[..., 0:nk])
+    dtable = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.float32),
+            jax.lax.bitcast_convert_type(vm.dir_vals, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    drows = dtable[pos]  # [Q,K,3]
+    gkeys = jax.lax.bitcast_convert_type(drows[..., 0:2], jnp.int64)
+    slot = jax.lax.bitcast_convert_type(drows[..., 2], jnp.int32)
     found = (gkeys == cand_keys) & (cand_keys != INVALID_KEY)
+    slot = jnp.where(found, slot, 0)
 
-    mu = rows_g[..., nk:nk + 3].astype(query_xyz.dtype)  # [Q,K,3]
+    mu = vm.payload[:, 0:3][slot].astype(query_xyz.dtype)  # [Q,K,3]
     diff = mu - query_xyz[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(found, d2, _FAR)
 
     best = jnp.argmin(d2, axis=-1)  # [Q]
     rows = jnp.arange(q)
-    return d2[rows, best], pos[rows, best].astype(jnp.int32), found[rows, best]
+    return d2[rows, best], slot[rows, best], found[rows, best]
 
 
 def IncrementalVoxelMapNormal(leaf_size, capacity, **kw):
@@ -409,12 +403,16 @@ class IncrementalVoxelMap:
     TPU equivalent of IncrementalVoxelMap<FlatContainer<...>>
     (ann/incremental_voxelmap.hpp:38-203 + ann/flat_container.hpp:20-154,
     i.e. "linear iVox" from Faster-LIO). The CPU design is a hash table
-    into per-voxel point buckets; the TPU design is a **flat point table
-    sorted by voxel key**: a voxel is a contiguous run of rows, found by
-    binary search. Insertion is O(scan): only the incoming scan is
-    sorted; it merges into the sorted table via prefix-sum rank
-    arithmetic plus one id scatter and one fused payload gather
-    (see _ivm_insert).
+    into per-voxel point buckets; the TPU design is a **voxel-slot
+    table**: voxel slot v permanently owns payload rows
+    [v*C, (v+1)*C) — rows NEVER move once written — and a narrow sorted
+    **directory** (voxel key → slot, occupancy) is rebuilt per insert.
+    Lookup is binary search in the directory; insertion touches only
+    scan-sized data (one small sort + one scan-row scatter) plus a
+    V-row directory re-sort, making insert O(scan) in payload traffic
+    instead of O(map) (the previous flat-sorted-table design moved the
+    whole [P, 17-column] payload through a gather every insert — ~24 ms
+    at 786k rows on a v5e chip; this design moves none of it).
 
     Semantics preserved from the reference:
       * per-voxel point cap (default 10, arrival order kept,
@@ -430,20 +428,32 @@ class IncrementalVoxelMap:
         advance the LRU clock
       * offset search patterns 1/7/27 (incremental_voxelmap.hpp:157-186)
 
-    `capacity` is the maximum number of STORED POINTS (the reference's
-    total bucket budget; overflow drops highest-key rows).
+    `capacity` sets the default number of voxel slots V (rounded up to
+    a multiple of 8 for mesh shardability); stored points are bounded by
+    V*cell_capacity. Pass `voxel_capacity` to decouple the two — a
+    smaller V shrinks the per-lookup directory search and the per-insert
+    directory re-sort (both O(V)), at the cost of capping live voxels.
+    Overflow (no reference analog — its maps are unbounded hash tables)
+    drops NEW voxels in descending key order once all slots are taken;
+    existing voxels are unaffected.
     """
 
-    point_keys: jax.Array  # [P] int64 voxel key per point, sorted, INVALID pad
-    points: jax.Array  # [P,4]
-    stamps: jax.Array  # [P] int32 lru stamp of the point's voxel
+    # Directory: occupied voxel keys sorted ascending (INVALID_KEY pad),
+    # rebuilt by every insert; the binary-search target of all lookups.
+    dir_keys: jax.Array  # [V] int64
+    dir_vals: jax.Array  # [V] int32 (slot << 8) | occupancy
+    # Slot table: per-slot state + payload rows pinned at slot*C..slot*C+C-1.
+    vox_keys: jax.Array  # [V] int64 key of the voxel at each slot; INVALID = free
+    occ: jax.Array  # [V] int32 stored points per slot
+    stamps: jax.Array  # [V] int32 LRU stamp per slot
+    payload: jax.Array  # [V*C, D] fused rows: point(4) | normal(4)? | cov(9)?
     num_points_stored: jax.Array  # scalar int32
     num_voxels: jax.Array  # scalar int32
     lru_counter: jax.Array  # scalar int32
     leaf_size: jax.Array  # scalar
-    normals: Optional[jax.Array] = None  # [P,4]
-    covs: Optional[jax.Array] = None  # [P,3,3]
 
+    has_normals: bool = struct.field(pytree_node=False, default=False)
+    has_covs: bool = struct.field(pytree_node=False, default=False)
     cell_capacity: int = struct.field(pytree_node=False, default=10)
     num_offsets: int = struct.field(pytree_node=False, default=1)
     lru_horizon: int = struct.field(pytree_node=False, default=100)
@@ -451,8 +461,21 @@ class IncrementalVoxelMap:
     min_sq_dist_in_cell: float = struct.field(pytree_node=False, default=0.01)
 
     @property
+    def voxel_capacity(self) -> int:
+        return self.vox_keys.shape[0]
+
+    @property
     def capacity(self) -> int:
-        return self.point_keys.shape[0]
+        """Payload-row capacity (max stored points = V * cell_capacity)."""
+        return self.payload.shape[0]
+
+    @property
+    def point_keys(self) -> jax.Array:
+        """Per-payload-row voxel key view (INVALID_KEY on unused rows).
+        Computed from the slot table; kept for the flat-table-era
+        interface (tests, interop)."""
+        keys = jnp.repeat(self.vox_keys, self.cell_capacity)
+        return jnp.where(self.valid_points_mask(), keys, INVALID_KEY)
 
     @staticmethod
     def empty(
@@ -466,19 +489,33 @@ class IncrementalVoxelMap:
         lru_horizon: int = 100,
         lru_clear_cycle: int = 10,
         min_sq_dist_in_cell: float = 0.01,
+        voxel_capacity: Optional[int] = None,
     ) -> "IncrementalVoxelMap":
-        p = capacity
-        pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
+        if not (0 < cell_capacity < 256):
+            raise ValueError("cell_capacity must be in [1, 255] "
+                             "(packed with the slot id in the directory)")
+        v = voxel_capacity if voxel_capacity is not None else capacity
+        v = -(-v // 8) * 8  # multiple of 8: shardable over small meshes
+        d = 4 + (4 if has_normals else 0) + (9 if has_covs else 0)
+        pad_row = jnp.concatenate(
+            [
+                jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype),
+                jnp.zeros((d - 4,), dtype),
+            ]
+        )
         return IncrementalVoxelMap(
-            point_keys=jnp.full((p,), INVALID_KEY, jnp.int64),
-            points=jnp.broadcast_to(pad, (p, 4)).copy(),
-            stamps=jnp.zeros((p,), jnp.int32),
+            dir_keys=jnp.full((v,), INVALID_KEY, jnp.int64),
+            dir_vals=(jnp.arange(v, dtype=jnp.int32) << 8),
+            vox_keys=jnp.full((v,), INVALID_KEY, jnp.int64),
+            occ=jnp.zeros((v,), jnp.int32),
+            stamps=jnp.zeros((v,), jnp.int32),
+            payload=jnp.broadcast_to(pad_row, (v * cell_capacity, d)).copy(),
             num_points_stored=jnp.asarray(0, jnp.int32),
             num_voxels=jnp.asarray(0, jnp.int32),
             lru_counter=jnp.asarray(0, jnp.int32),
             leaf_size=jnp.asarray(leaf_size, dtype),
-            normals=jnp.zeros((p, 4), dtype) if has_normals else None,
-            covs=jnp.zeros((p, 3, 3), dtype) if has_covs else None,
+            has_normals=has_normals,
+            has_covs=has_covs,
             cell_capacity=cell_capacity,
             num_offsets=num_offsets,
             lru_horizon=lru_horizon,
@@ -490,18 +527,18 @@ class IncrementalVoxelMap:
         """Insert a cloud transformed by T (incremental_voxelmap.hpp:55-92;
         normals/covs are rotated into the map frame like
         flat_container.hpp:52-57)."""
-        dtype = self.points.dtype
+        dtype = self.payload.dtype
         points = cloud.points.astype(dtype)
         T = jnp.eye(4, dtype=dtype) if T is None else jnp.asarray(T, dtype)
         normals = cloud.normals
         covs = cloud.covs
-        if self.normals is not None:
+        if self.has_normals:
             if normals is None:
                 normals = jnp.zeros((cloud.capacity, 4), dtype)
             normals = normals.astype(dtype) @ T.T
         else:
             normals = None
-        if self.covs is not None:
+        if self.has_covs:
             if covs is None:
                 covs = jnp.zeros((cloud.capacity, 3, 3), dtype)
             covs = transform_covs(T, covs.astype(dtype))
@@ -535,23 +572,31 @@ class IncrementalVoxelMap:
         return d[:, 0], i[:, 0], f[:, 0]
 
     # Flat views (analog of traits::voxel_points/normals/covs,
-    # incremental_voxelmap.hpp:255-291); valid rows are compacted to the
-    # front and sorted by voxel key.
+    # incremental_voxelmap.hpp:255-291); rows live at fixed slot
+    # positions — use valid_points_mask() / the kNN flat indices to
+    # address live rows (knn only ever returns live rows).
     def points_flat(self) -> jax.Array:
-        return self.points
+        return self.payload[:, :4]
 
     def normals_flat(self) -> Optional[jax.Array]:
-        return self.normals
+        if not self.has_normals:
+            return None
+        return self.payload[:, 4:8]
 
     def covs_flat(self) -> Optional[jax.Array]:
-        return self.covs
+        if not self.has_covs:
+            return None
+        off = 8 if self.has_normals else 4
+        return self.payload[:, off:off + 9].reshape(-1, 3, 3)
 
     def size(self) -> jax.Array:
         """Total number of stored points."""
         return self.num_points_stored
 
     def valid_points_mask(self) -> jax.Array:
-        return jnp.arange(self.capacity) < self.num_points_stored
+        c = self.cell_capacity
+        j = jnp.arange(self.capacity, dtype=jnp.int32) % c
+        return j < jnp.repeat(self.occ, c)
 
 
 def _fine_hash(xyz: jax.Array, fine_leaf, coarse_keys: jax.Array) -> jax.Array:
@@ -578,38 +623,44 @@ def _fine_hash(xyz: jax.Array, fine_leaf, coarse_keys: jax.Array) -> jax.Array:
 
 @jax.jit
 def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
-    """O(scan) incremental-map insert: sort only the incoming scan and
-    merge it into the already-sorted flat point table.
+    """O(scan) slot-table insert: payload rows never move.
 
-    The first implementation re-sorted map+scan (P+n rows) with every
-    payload column as a sort operand, twice — O(map·payload) data
-    movement per insert (~8 ms at 131k map / 16k scan on a v5e chip).
-    TPU scatters serialize per row, so this version is built from sorts,
-    gathers, prefix sums and binary searches ONLY: the n scan rows are
-    sorted (2-3 small sorts), per-voxel occupancy and the exact dedup
-    test come from a C-row window gather at each query's binary-search
-    position, and the merge is ONE stable 2-operand sort of
-    (key, source-id) over P+n rows followed by one fused payload gather.
+    The flat-sorted-table predecessor moved the WHOLE map payload
+    through one [P+n, 17-column] gather per insert (~24 ms of the 34 ms
+    insert at 786k rows on a v5e chip). Here the only O(map) work is a
+    [V]-row directory re-sort (V = P/C slots of (int64, int32) — ~0.5 ms
+    at 100k slots); everything payload-sized is scan-sized:
+      1. sort the scan by (voxel key, arrival) — one n-row sort,
+      2. binary-search the directory for each scan voxel: slot id + old
+         occupancy ride in one packed int32,
+      3. EXACT dedup against old occupants via a [n, C, 3] window gather
+         at slot*C (flat_container.hpp:43-50 verbatim); within-scan
+         dedup keeps the fine-grid approximation scoped per voxel,
+      4. per-voxel cap by prefix-sum arrival rank,
+      5. allocate free slots to new voxels in ascending-key order (one
+         V-row int32 sort), and
+      6. scatter the accepted rows at slot*C + occupancy + rank — a
+         scan-row scatter into pinned rows.
 
     Reference-semantics notes (incremental_voxelmap.hpp:55-92 +
     flat_container.hpp:43-58):
-      * dedup against OLD voxel occupants is EXACT: each new point
-        gathers its voxel's stored rows and tests real squared
-        distances — the reference's min-dist check verbatim. Only the
-        within-scan (same-batch) dedup uses the fine-grid approximation,
-        scoped per voxel via `_fine_hash`.
       * per-voxel cap admits new points in arrival order until
         occupants + admitted == cell_capacity.
       * every valid point stamps its voxel with the PRE-increment
         counter, even points the cap/dedup rejects (:69-71); the counter
         increments after the scan; clear cycles evict voxels with
-        stamp + horizon < counter (:74-79). Empty inserts are no-ops.
-      * capacity overflow drops the highest-key merged rows.
+        stamp + horizon < counter (:74-79) — covering voxels born this
+        call. Empty inserts are no-ops.
+      * slot exhaustion drops NEW voxels from the highest-key end;
+        existing voxels are untouched (documented overflow policy —
+        the reference's hash table never overflows).
     """
-    P = vm.capacity
+    V = vm.vox_keys.shape[0]
     C = vm.cell_capacity
+    VC = V * C
     n = points.shape[0]
-    dtype = vm.points.dtype
+    dtype = vm.payload.dtype
+    imax = jnp.iinfo(jnp.int32).max
 
     stamp_val = vm.lru_counter  # PRE-increment stamp
     nonempty = num_points > 0
@@ -618,31 +669,38 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
     inv_leaf = (1.0 / vm.leaf_size).astype(points.dtype)
     new_keys = pack_coords(voxel_coords(points[:, :3], inv_leaf))
     new_keys = jnp.where(jnp.arange(n) < num_points, new_keys, INVALID_KEY)
-    pts_new = points.astype(dtype)
 
-    # --- sort scan rows by (key, arrival) ------------------------------
+    # --- sort scan rows by (key, arrival); fused payload rows ----------
     arrival = jnp.arange(n, dtype=jnp.int32)
     k_s, a_s = jax.lax.sort((new_keys, arrival), num_keys=1, is_stable=True)
-    xyz_s = pts_new[a_s, :3]
+    cols = [points.astype(dtype)]
+    if vm.has_normals:
+        cols.append(normals.astype(dtype))
+    if vm.has_covs:
+        cols.append(covs.reshape(n, 9).astype(dtype))
+    rows_new = jnp.concatenate(cols, axis=1)[a_s]  # [n, D] sorted order
+    xyz_s = rows_new[:, :3]
     valid_new = k_s != INVALID_KEY
 
-    # --- old-occupant window: occupancy count + exact dedup ------------
-    # method="sort": see _gvm_insert — the binary-search lowering is a
-    # sequential while_loop, ~8 ms at these sizes vs ~1 ms for the sort.
-    lo = jnp.searchsorted(vm.point_keys, k_s, method="sort")
-    win = lo[:, None] + jnp.arange(C)[None, :]  # voxel runs are <= C rows
-    winc = jnp.clip(win, 0, P - 1)
-    keycols, nk = _key_bit_cols(vm.point_keys, dtype)
-    otab = jnp.concatenate([keycols, vm.points[:, :3]], axis=1)
-    orows = otab[winc]  # [n, C, nk+3]
-    okeys = _bits_to_key(orows[..., 0:nk])
-    in_voxel = (okeys == k_s[:, None]) & (win < P) & valid_new[:, None]
-    occ = jnp.sum(in_voxel, axis=-1).astype(jnp.int32)  # old points per voxel
+    # --- directory lookup: slot + pre-insert occupancy -----------------
+    # method="sort": the binary-search lowering is a sequential
+    # while_loop (~8 ms at map scale); the sort lowering is ~1 ms.
+    lo = jnp.searchsorted(vm.dir_keys, k_s, method="sort")
+    lo_c = jnp.clip(lo, 0, V - 1)
+    hit = (vm.dir_keys[lo_c] == k_s) & valid_new
+    dval = vm.dir_vals[lo_c]
+    slot_hit = jnp.where(hit, dval >> 8, 0)
+    occ_base = jnp.where(hit, dval & 0xFF, 0)
 
+    # --- exact dedup against old occupants (window gather at the slot) -
     if vm.min_sq_dist_in_cell > 0.0:
-        diff = orows[..., nk:nk + 3] - xyz_s[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
-        d2 = jnp.where(in_voxel, d2, _FAR)
+        win = jnp.clip(
+            slot_hit[:, None] * C + jnp.arange(C)[None, :], 0, VC - 1
+        )
+        oxyz = vm.payload[:, :3][win]  # [n, C, 3]
+        in_vox = hit[:, None] & (jnp.arange(C)[None, :] < occ_base[:, None])
+        diff = oxyz - xyz_s[:, None, :]
+        d2 = jnp.where(in_vox, jnp.sum(diff * diff, axis=-1), _FAR)
         ok = valid_new & (jnp.min(d2, axis=-1) >= vm.min_sq_dist_in_cell)
         # Within-scan dedup approximation: keep the first arrival per
         # per-voxel fine cell. Sort (hash, arrival) to find run heads,
@@ -667,86 +725,70 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
     prev = jnp.concatenate([jnp.asarray([INVALID_KEY]), k_s[:-1]])
     seg_first = (k_s != prev) & valid_new
     run_start = jax.lax.cummax(jnp.where(seg_first, pos, -1))
+    rs = jnp.clip(run_start, 0, n - 1)
     okf = ok.astype(jnp.int32)
     ex = jnp.cumsum(okf) - okf  # exclusive prefix of accepted rows
-    base = ex[jnp.clip(run_start, 0, n - 1)]
-    rank = ex - base
-    keep_new = ok & (occ + rank < C)
+    rank = ex - ex[rs]
+    keep_new = ok & (occ_base + rank < C)
 
-    # --- old rows: stamp refresh + eviction ----------------------------
-    posm = jnp.searchsorted(k_s, vm.point_keys, method="sort")
-    posm_c = jnp.clip(posm, 0, n - 1)
-    touched = (k_s[posm_c] == vm.point_keys) & (vm.point_keys != INVALID_KEY)
-    old_stamps = jnp.where(touched, stamp_val, vm.stamps)
+    # --- allocate free slots to new voxels (ascending-key order) -------
+    new_head = seg_first & ~hit
+    free = vm.vox_keys == INVALID_KEY
+    fslot = jnp.where(free, jnp.arange(V, dtype=jnp.int32), imax)
+    fsorted = jax.lax.sort(fslot)  # free slot ids ascending, imax tail
+    nh = new_head.astype(jnp.int32)
+    r = jnp.cumsum(nh) - nh  # exclusive rank among new voxels
+    num_free = jnp.sum(free).astype(jnp.int32)
+    cand = fsorted[jnp.clip(r, 0, V - 1)]
+    # r < num_free guards the all-free case where fsorted has no imax
+    # sentinel and a clipped rank would collide on the last slot.
+    alloc_head = jnp.where(new_head & (r < num_free) & (cand != imax), cand, V)
+    slot_all = jnp.where(hit, slot_hit, alloc_head[rs])
+    keep_new = keep_new & (slot_all < V)
 
+    # --- scatter accepted rows into their pinned payload rows ----------
+    dst = jnp.where(keep_new, slot_all * C + occ_base + rank, VC)
+    payload = vm.payload.at[dst].set(rows_new, mode="drop")
+
+    # --- per-run added count at the head row ---------------------------
+    kf = keep_new.astype(jnp.int32)
+    ck = jnp.cumsum(kf)
+    nxt = jax.lax.cummin(jnp.where(seg_first, pos, n), reverse=True)
+    run_end = jnp.concatenate([nxt[1:], jnp.asarray([n], jnp.int32)])
+    added = ck[jnp.maximum(run_end - 1, 0)] - (ck - kf)
+
+    # --- slot metadata updates (head rows hit unique slots) ------------
+    touched_head = seg_first & (slot_all < V)
+    tslot = jnp.where(touched_head, slot_all, V)
+    vox_keys = vm.vox_keys.at[tslot].set(k_s, mode="drop")
+    occ_new = vm.occ.at[tslot].set(occ_base + added, mode="drop")
+    stamps = vm.stamps.at[tslot].set(
+        jnp.full((n,), stamp_val, jnp.int32), mode="drop"
+    )
+
+    # --- LRU eviction (uniformly covers refreshed + newborn voxels) ----
     do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
     expired = (
-        old_stamps.astype(jnp.int64) + vm.lru_horizon
+        stamps.astype(jnp.int64) + vm.lru_horizon
     ) < counter.astype(jnp.int64)
-    keep_old = (vm.point_keys != INVALID_KEY) & ~(do_clear & expired)
-    born_expired = do_clear & (
-        (stamp_val.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
-    )
-    keep_new = keep_new & ~born_expired
+    kill = do_clear & expired & (vox_keys != INVALID_KEY)
+    vox_keys = jnp.where(kill, INVALID_KEY, vox_keys)
+    occ_new = jnp.where(kill, 0, occ_new)
+    occupied = vox_keys != INVALID_KEY
 
-    # --- merge: ONE stable (key, src) sort over P+n rows ---------------
-    # stable ⇒ equal keys keep input order: old rows (first block, in
-    # stored order) precede new rows (arrival order within a voxel) —
-    # exactly the reference's sequential arrival semantics.
-    mk = jnp.concatenate(
-        [
-            jnp.where(keep_old, vm.point_keys, INVALID_KEY),
-            jnp.where(keep_new, k_s, INVALID_KEY),
-        ]
-    )
-    msrc = jnp.concatenate([jnp.arange(P, dtype=jnp.int32), P + a_s])
-    sk, ssrc = jax.lax.sort((mk, msrc), num_keys=1, is_stable=True)
-    out_keys = sk[:P]
-    g = ssrc[:P]
-    empty = out_keys == INVALID_KEY
-
-    # --- fused payload gather ------------------------------------------
-    # new-side tables are in ORIGINAL arrival frame (src = P + a_s)
-    stab = jnp.concatenate([old_stamps, jnp.full((n,), stamp_val, jnp.int32)])
-    out_stamps = jnp.where(empty, 0, stab[g])
-
-    fcols = [jnp.concatenate([vm.points, pts_new], axis=0)]
-    if vm.normals is not None:
-        fcols.append(jnp.concatenate([vm.normals, normals.astype(dtype)], axis=0))
-    if vm.covs is not None:
-        fcols.append(
-            jnp.concatenate(
-                [vm.covs.reshape(P, 9), covs.reshape(n, 9).astype(dtype)], axis=0
-            )
-        )
-    rows = jnp.concatenate(fcols, axis=1)[g]
-    pad = jnp.asarray([PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype)
-    out_points = jnp.where(empty[:, None], pad, rows[:, 0:4])
-    off = 4
-    out_normals = None
-    out_covs = None
-    if vm.normals is not None:
-        out_normals = jnp.where(empty[:, None], 0.0, rows[:, off:off + 4])
-        off += 4
-    if vm.covs is not None:
-        out_covs = jnp.where(
-            empty[:, None], 0.0, rows[:, off:off + 9]
-        ).reshape(P, 3, 3)
-
-    prev_o = jnp.concatenate(
-        [jnp.asarray([INVALID_KEY], out_keys.dtype), out_keys[:-1]]
-    )
-    n_vox = jnp.sum((out_keys != prev_o) & ~empty).astype(jnp.int32)
-    total = jnp.sum(keep_old).astype(jnp.int32) + jnp.sum(keep_new).astype(jnp.int32)
+    # --- rebuild the directory: ONE V-row (key, packed val) sort -------
+    dvals = (jnp.arange(V, dtype=jnp.int32) << 8) | occ_new
+    dk, dv = jax.lax.sort((vox_keys, dvals), num_keys=1)
 
     return vm.replace(
-        point_keys=out_keys,
-        points=out_points,
-        normals=out_normals,
-        covs=out_covs,
-        stamps=out_stamps,
-        num_points_stored=jnp.minimum(total, P),
-        num_voxels=n_vox,
+        dir_keys=dk,
+        dir_vals=dv,
+        vox_keys=vox_keys,
+        occ=occ_new,
+        stamps=stamps,
+        payload=payload,
+        num_points_stored=jnp.sum(occ_new).astype(jnp.int32),
+        num_voxels=jnp.sum(occupied).astype(jnp.int32),
         lru_counter=counter,
     )
 
@@ -754,7 +796,7 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
 
 @partial(jax.jit, static_argnames=("k",))
 def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
-    P = vm.capacity
+    V = vm.vox_keys.shape[0]
     C = vm.cell_capacity
     q = query_xyz.shape[0]
     offsets = neighbor_offsets(vm.num_offsets)  # [K,3]
@@ -764,30 +806,37 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
     center = voxel_coords(query_xyz, inv_leaf)
     cand_keys = pack_coords(center[:, None, :] + offsets[None, :, :])  # [Q,K]
 
-    # A voxel is a contiguous run; its start row by binary search, then a
-    # C-row window gather (runs are capped at C rows by insert).
-    # method="sort": see _gvm_nn.
-    start = jnp.searchsorted(
-        vm.point_keys, cand_keys.reshape(-1), method="sort"
+    # Directory binary search over V entries (NOT the P = V*C point
+    # rows — at C=10 this makes the dominant searchsorted sort 10x
+    # smaller than the flat-table design). method="sort": see _gvm_nn.
+    pos = jnp.searchsorted(
+        vm.dir_keys, cand_keys.reshape(-1), method="sort"
     ).reshape(q, K)
-    raw_idx = start[:, :, None] + jnp.arange(C)[None, None, :]
-    idx = jnp.clip(raw_idx, 0, P - 1)
+    pos = jnp.clip(pos, 0, V - 1)
 
-    # One fused [P, keybits+3] gather for keys and coordinates (see
-    # _gvm_nn: per-row gather cost dominates, so fuse the columns).
-    keycols, nk = _key_bit_cols(vm.point_keys, vm.points.dtype)
-    table = jnp.concatenate([keycols, vm.points[:, :3]], axis=1)
-    rows_g = table[idx]  # [Q,K,C,nk+3]
-    gkeys = _bits_to_key(rows_g[..., 0:nk])  # [Q,K,C]
-    usable = (
-        (gkeys == cand_keys[:, :, None])
-        & (cand_keys != INVALID_KEY)[:, :, None]
-        # Window rows clipped at the table end would duplicate row P-1
-        # (same key, same run, if the last run is short) — mask them.
-        & (raw_idx < P)
+    # One fused [V, 3]-f32 directory gather: key bits (2 cols) + packed
+    # (slot, occupancy) bits (1 col); per-row gather cost dominates, so
+    # the three lookups share one row.
+    dtable = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.float32),
+            jax.lax.bitcast_convert_type(vm.dir_vals, jnp.float32)[:, None],
+        ],
+        axis=1,
     )
+    drows = dtable[pos]  # [Q,K,3]
+    gkeys = jax.lax.bitcast_convert_type(drows[..., 0:2], jnp.int64)
+    dval = jax.lax.bitcast_convert_type(drows[..., 2], jnp.int32)
+    found = (gkeys == cand_keys) & (cand_keys != INVALID_KEY)
+    slot = jnp.where(found, dval >> 8, 0)
+    occv = jnp.where(found, dval & 0xFF, 0)
 
-    cand_pts = rows_g[..., nk:nk + 3]  # [Q,K,C,3]
+    # Payload window at the voxel's pinned rows; validity = row index
+    # within occupancy (no key re-check needed — slots are exact).
+    idx = slot[:, :, None] * C + jnp.arange(C)[None, None, :]  # [Q,K,C]
+    usable = jnp.arange(C)[None, None, :] < occv[:, :, None]
+
+    cand_pts = vm.payload[:, :3][idx]  # [Q,K,C,3]
     diff = cand_pts - query_xyz[:, None, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(usable, d2, _FAR).reshape(q, K * C)

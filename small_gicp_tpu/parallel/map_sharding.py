@@ -41,8 +41,10 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def shard_gaussian_voxelmap(vm: GaussianVoxelMap, mesh: Mesh) -> GaussianVoxelMap:
-    """Place the voxel axis of a GaussianVoxelMap across the mesh's first
-    axis (scalars replicated)."""
+    """Place the voxel-slot axis of a GaussianVoxelMap across the mesh's
+    first axis (scalars replicated). Sharded search rebuilds shard-local
+    directories from the slot keys, so the row-split of the globally
+    sorted directory is harmless."""
     axis = mesh.axis_names[0]
     vox = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -57,14 +59,19 @@ def shard_gaussian_voxelmap(vm: GaussianVoxelMap, mesh: Mesh) -> GaussianVoxelMa
 
 
 def shard_incremental_voxelmap(vm: IncrementalVoxelMap, mesh: Mesh) -> IncrementalVoxelMap:
-    """Place the point axis of an IncrementalVoxelMap across the mesh."""
+    """Place the voxel-slot axis of an IncrementalVoxelMap across the
+    mesh: slot arrays ([V]) and the pinned payload rows ([V*C]) split
+    into contiguous slot blocks; scalars replicated. The globally sorted
+    directory is row-split too but sharded search ignores it — each
+    shard builds a directory over its LOCAL slots (see sharded_ivm_nn)."""
     axis = mesh.axis_names[0]
     rows = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    v = vm.vox_keys.shape[0]
 
     def place(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == vm.capacity:
+        if x.ndim >= 1 and x.shape[0] in (v, vm.capacity):
             return jax.device_put(x, rows)
         return jax.device_put(x, repl)
 
@@ -79,38 +86,52 @@ def _combine_across_shards(axis: str, d2, idx):
     return gmin, gidx
 
 
+def _local_gvm_search(vox_keys, payload, leaf, q, offsets):
+    """Shard-local GVM NN: build a directory over the LOCAL slots (one
+    [V_local]-row sort) and search it like the single-device kernel.
+    Returns (d2 [Q,K], local slot [Q,K], found [Q,K])."""
+    local_v = vox_keys.shape[0]
+    nq = q.shape[0]
+    dk, dv = jax.lax.sort(
+        (vox_keys, jnp.arange(local_v, dtype=jnp.int32)), num_keys=1
+    )
+    inv_leaf = (1.0 / leaf).astype(q.dtype)
+    cand_keys = pack_coords(
+        voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
+    )  # [Q,K]
+    pos = jnp.clip(
+        jnp.searchsorted(dk, cand_keys.reshape(-1), method="sort"),
+        0,
+        local_v - 1,
+    ).reshape(nq, -1)
+    found = (dk[pos] == cand_keys) & (cand_keys != INVALID_KEY)
+    slot = jnp.where(found, dv[pos], 0)
+    mu = payload[:, 0:3][slot]
+    diff = mu - q[:, None, :]
+    d2 = jnp.where(found, jnp.sum(diff * diff, axis=-1), _FAR)
+    return d2, slot, found
+
+
 def sharded_gvm_nn(
     vm: GaussianVoxelMap, query_xyz: jax.Array, mesh: Mesh
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """NN over a voxel-axis-sharded GaussianVoxelMap.
+    """NN over a slot-axis-sharded GaussianVoxelMap.
 
-    Returns (sq_dists [Q], GLOBAL voxel idx [Q], found [Q]); results are
-    identical to the single-device vm.nearest_neighbor_search.
+    Returns (sq_dists [Q], GLOBAL voxel slot [Q], found [Q]); results
+    are identical to the single-device vm.nearest_neighbor_search.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     local_v = vm.capacity // n_dev
     offsets = neighbor_offsets(vm.num_offsets)
 
-    def local(keys, means, leaf, q):
+    def local(vox_keys, payload, leaf, q):
         shard_id = jax.lax.axis_index(axis)
-        inv_leaf = (1.0 / leaf).astype(q.dtype)
-        cand_keys = pack_coords(
-            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
-        )  # [Q,K]
-        pos = jnp.clip(
-            jnp.searchsorted(keys, cand_keys.reshape(-1), method="sort"),
-            0,
-            local_v - 1,
-        ).reshape(q.shape[0], -1)
-        found = (keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)
-        mu = means[pos][..., :3]
-        diff = mu - q[:, None, :]
-        d2 = jnp.where(found, jnp.sum(diff * diff, axis=-1), _FAR)
+        d2, slot, _ = _local_gvm_search(vox_keys, payload, leaf, q, offsets)
         best = jnp.argmin(d2, axis=-1)
         rows = jnp.arange(q.shape[0])
         bd = d2[rows, best]
-        bidx = (pos[rows, best] + shard_id * local_v).astype(jnp.int32)
+        bidx = (slot[rows, best] + shard_id * local_v).astype(jnp.int32)
         bidx = jnp.where(bd < _FAR, bidx, _IMAX)
         return _combine_across_shards(axis, bd, bidx)
 
@@ -120,46 +141,58 @@ def sharded_gvm_nn(
         in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
     )
-    d2, idx = fn(vm.keys, vm.means, vm.leaf_size, query_xyz)
+    d2, idx = fn(vm.vox_keys, vm.payload, vm.leaf_size, query_xyz)
     found = d2 < _FAR
     return d2, jnp.where(found, idx, 0), found
+
+
+def _local_ivm_search(vox_keys, occ, payload, leaf, q, C, offsets):
+    """Shard-local IVM NN: build a directory over the LOCAL slots (one
+    [V_local]-row sort — the slot blocks are disjoint, so the union of
+    the local directories covers the map) and search it exactly like the
+    single-device kernel. Returns (d2 [Q, K*C], local flat idx)."""
+    local_v = vox_keys.shape[0]
+    nq = q.shape[0]
+    slot32 = jnp.arange(local_v, dtype=jnp.int32)
+    dk, dv = jax.lax.sort((vox_keys, (slot32 << 8) | occ), num_keys=1)
+    inv_leaf = (1.0 / leaf).astype(q.dtype)
+    cand_keys = pack_coords(
+        voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
+    )  # [Q,K]
+    pos = jnp.clip(
+        jnp.searchsorted(dk, cand_keys.reshape(-1), method="sort"),
+        0,
+        local_v - 1,
+    ).reshape(nq, -1)
+    found = (dk[pos] == cand_keys) & (cand_keys != INVALID_KEY)
+    dval = dv[pos]
+    slot = jnp.where(found, dval >> 8, 0)
+    occv = jnp.where(found, dval & 0xFF, 0)
+    idx = slot[:, :, None] * C + jnp.arange(C)[None, None, :]
+    usable = jnp.arange(C)[None, None, :] < occv[:, :, None]
+    pts = payload[:, :3][idx]
+    diff = pts - q[:, None, None, :]
+    d2 = jnp.where(usable, jnp.sum(diff * diff, axis=-1), _FAR)
+    return d2.reshape(nq, -1), idx.reshape(nq, -1)
 
 
 def sharded_ivm_nn(
     vm: IncrementalVoxelMap, query_xyz: jax.Array, mesh: Mesh
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """NN over a point-axis-sharded IncrementalVoxelMap (global flat
-    point indices returned)."""
+    """NN over a slot-axis-sharded IncrementalVoxelMap (global flat
+    payload-row indices returned, identical numbering to the
+    single-device map)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     local_p = vm.capacity // n_dev
     C = vm.cell_capacity
     offsets = neighbor_offsets(vm.num_offsets)
 
-    def local(point_keys, points, leaf, q):
+    def local(vox_keys, occ, payload, leaf, q):
         shard_id = jax.lax.axis_index(axis)
-        nq = q.shape[0]
-        inv_leaf = (1.0 / leaf).astype(q.dtype)
-        cand_keys = pack_coords(
-            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
-        )  # [Q,K]
-        start = jnp.searchsorted(
-            point_keys, cand_keys.reshape(-1), method="sort"
-        ).reshape(nq, -1)
-        idx = jnp.clip(
-            start[:, :, None] + jnp.arange(C)[None, None, :], 0, local_p - 1
-        )
-        gkeys = point_keys[idx]
-        usable = (gkeys == cand_keys[:, :, None]) & (
-            cand_keys != INVALID_KEY
-        )[:, :, None]
-        pts = points[idx][..., :3]
-        diff = pts - q[:, None, None, :]
-        d2 = jnp.where(usable, jnp.sum(diff * diff, axis=-1), _FAR)
-        d2 = d2.reshape(nq, -1)
-        flat = idx.reshape(nq, -1)
+        d2, flat = _local_ivm_search(vox_keys, occ, payload, leaf, q, C, offsets)
         best = jnp.argmin(d2, axis=-1)
-        rows = jnp.arange(nq)
+        rows = jnp.arange(q.shape[0])
         bd = d2[rows, best]
         bidx = (flat[rows, best] + shard_id * local_p).astype(jnp.int32)
         bidx = jnp.where(bd < _FAR, bidx, _IMAX)
@@ -168,10 +201,10 @@ def sharded_ivm_nn(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
     )
-    d2, idx = fn(vm.point_keys, vm.points, vm.leaf_size, query_xyz)
+    d2, idx = fn(vm.vox_keys, vm.occ, vm.payload, vm.leaf_size, query_xyz)
     found = d2 < _FAR
     return d2, jnp.where(found, idx, 0), found
 
@@ -212,10 +245,10 @@ def sharded_nn_payload(vm, query_xyz: jax.Array, mesh: Mesh):
         mu = pay[:, :3]
         off = 3
         covs = normals = None
-        if vm.covs is not None:
+        if vm.has_covs:
             covs = pay[:, off:off + 9].reshape(-1, 3, 3)
             off += 9
-        if vm.normals is not None:
+        if vm.has_normals:
             normals = pay[:, off:off + 4]
         return d2, found, mu, covs, normals
     raise TypeError(f"unsupported sharded map type {type(vm)!r}")
@@ -227,43 +260,30 @@ def _sharded_gvm_nn_payload(vm: GaussianVoxelMap, query_xyz, mesh: Mesh):
     local_v = vm.capacity // n_dev
     offsets = neighbor_offsets(vm.num_offsets)
 
-    def local(keys, means, covs, leaf, q):
+    def local(vox_keys, payload, leaf, q):
         nq = q.shape[0]
-        inv_leaf = (1.0 / leaf).astype(q.dtype)
-        cand_keys = pack_coords(
-            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
-        )
-        pos = jnp.clip(
-            jnp.searchsorted(keys, cand_keys.reshape(-1), method="sort"),
-            0,
-            local_v - 1,
-        ).reshape(nq, -1)
-        found = (keys[pos] == cand_keys) & (cand_keys != INVALID_KEY)
-        mu = means[pos][..., :3]
-        diff = mu - q[:, None, :]
-        d2 = jnp.where(found, jnp.sum(diff * diff, axis=-1), _FAR)
+        d2, slot, _ = _local_gvm_search(vox_keys, payload, leaf, q, offsets)
         best = jnp.argmin(d2, axis=-1)
         rows = jnp.arange(nq)
         bd = d2[rows, best]
-        pos_b = pos[rows, best]
+        slot_b = slot[rows, best]
         shard_id = jax.lax.axis_index(axis)
-        bidx = (pos_b + shard_id * local_v).astype(jnp.int32)
+        bidx = (slot_b + shard_id * local_v).astype(jnp.int32)
         bidx = jnp.where(bd < _FAR, bidx, _IMAX)
         gmin, gidx = _combine_across_shards(axis, bd, bidx)
-        payload = jnp.concatenate(
-            [means[pos_b][:, :3], covs[pos_b].reshape(nq, 9)], axis=1
-        )
+        prow = payload[slot_b]  # [Q,14] fused winner rows
+        pay_cols = jnp.concatenate([prow[:, 0:3], prow[:, 4:13]], axis=1)
         win = (bidx == gidx) & (bd < _FAR)
-        pay = jax.lax.psum(jnp.where(win[:, None], payload, 0.0), axis)
+        pay = jax.lax.psum(jnp.where(win[:, None], pay_cols, 0.0), axis)
         return gmin, pay
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
     )
-    d2, pay = fn(vm.keys, vm.means, vm.covs, vm.leaf_size, query_xyz)
+    d2, pay = fn(vm.vox_keys, vm.payload, vm.leaf_size, query_xyz)
     return d2, d2 < _FAR, pay
 
 
@@ -273,30 +293,15 @@ def _sharded_ivm_nn_payload(vm: IncrementalVoxelMap, query_xyz, mesh: Mesh):
     local_p = vm.capacity // n_dev
     C = vm.cell_capacity
     offsets = neighbor_offsets(vm.num_offsets)
-    has_covs = vm.covs is not None
-    has_normals = vm.normals is not None
+    # Winner payload layout: xyz(3) | cov(9)? | normal(4)? — reordered
+    # from the map's fused [point|normal|cov] rows to match
+    # sharded_nn_payload's unpacking order.
+    n_off = 4 if vm.has_normals else None
+    c_off = (8 if vm.has_normals else 4) if vm.has_covs else None
 
-    def local(point_keys, points, covs, normals, leaf, q):
+    def local(vox_keys, occ, payload, leaf, q):
         nq = q.shape[0]
-        inv_leaf = (1.0 / leaf).astype(q.dtype)
-        cand_keys = pack_coords(
-            voxel_coords(q, inv_leaf)[:, None, :] + offsets[None, :, :]
-        )
-        start = jnp.searchsorted(
-            point_keys, cand_keys.reshape(-1), method="sort"
-        ).reshape(nq, -1)
-        idx = jnp.clip(
-            start[:, :, None] + jnp.arange(C)[None, None, :], 0, local_p - 1
-        )
-        gkeys = point_keys[idx]
-        usable = (gkeys == cand_keys[:, :, None]) & (
-            cand_keys != INVALID_KEY
-        )[:, :, None]
-        pts = points[idx][..., :3]
-        diff = pts - q[:, None, None, :]
-        d2 = jnp.where(usable, jnp.sum(diff * diff, axis=-1), _FAR)
-        d2 = d2.reshape(nq, -1)
-        flat = idx.reshape(nq, -1)
+        d2, flat = _local_ivm_search(vox_keys, occ, payload, leaf, q, C, offsets)
         best = jnp.argmin(d2, axis=-1)
         rows = jnp.arange(nq)
         bd = d2[rows, best]
@@ -305,31 +310,24 @@ def _sharded_ivm_nn_payload(vm: IncrementalVoxelMap, query_xyz, mesh: Mesh):
         bidx = (row_b + shard_id * local_p).astype(jnp.int32)
         bidx = jnp.where(bd < _FAR, bidx, _IMAX)
         gmin, gidx = _combine_across_shards(axis, bd, bidx)
-        cols = [points[row_b][:, :3]]
-        if has_covs:
-            cols.append(covs[row_b].reshape(nq, 9))
-        if has_normals:
-            cols.append(normals[row_b])
-        payload = jnp.concatenate(cols, axis=1)
+        prow = payload[row_b]  # [Q, D] fused winner rows
+        cols = [prow[:, :3]]
+        if c_off is not None:
+            cols.append(prow[:, c_off:c_off + 9])
+        if n_off is not None:
+            cols.append(prow[:, n_off:n_off + 4])
+        pay_cols = jnp.concatenate(cols, axis=1)
         win = (bidx == gidx) & (bd < _FAR)
-        pay = jax.lax.psum(jnp.where(win[:, None], payload, 0.0), axis)
+        pay = jax.lax.psum(jnp.where(win[:, None], pay_cols, 0.0), axis)
         return gmin, pay
 
-    zeros = jnp.zeros((vm.capacity, 0), vm.points.dtype)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
     )
-    d2, pay = fn(
-        vm.point_keys,
-        vm.points,
-        vm.covs if has_covs else zeros,
-        vm.normals if has_normals else zeros,
-        vm.leaf_size,
-        query_xyz,
-    )
+    d2, pay = fn(vm.vox_keys, vm.occ, vm.payload, vm.leaf_size, query_xyz)
     return d2, d2 < _FAR, pay
 
 

@@ -44,7 +44,9 @@ def test_pytree_roundtrip(tmp_path, rng):
     path = str(tmp_path / "vm.npz")
     save_pytree(path, vm)
     vm2 = load_pytree(path, GaussianVoxelMap.empty(1.0, capacity=128))
-    np.testing.assert_array_equal(np.asarray(vm.keys), np.asarray(vm2.keys))
+    np.testing.assert_array_equal(
+        np.asarray(vm.dir_keys), np.asarray(vm2.dir_keys)
+    )
     with pytest.raises(ValueError):
         load_pytree(path, GaussianVoxelMap.empty(1.0, capacity=64))
 

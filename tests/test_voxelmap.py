@@ -57,10 +57,14 @@ def test_gaussian_voxelmap_incremental_equals_batch(rng):
     vm_batch = GaussianVoxelMap.build(both, 1.0, capacity=2048)
     n = int(vm_batch.num_voxels)
     assert int(vm_inc.num_voxels) == n
-    assert np.array_equal(np.asarray(vm_inc.keys), np.asarray(vm_batch.keys))
-    assert np.allclose(
-        np.asarray(vm_inc.means)[:n], np.asarray(vm_batch.means)[:n], atol=1e-9
+    # Slot assignment is allocation-order dependent; compare the maps in
+    # directory (key-sorted) order, which is canonical.
+    assert np.array_equal(
+        np.asarray(vm_inc.dir_keys), np.asarray(vm_batch.dir_keys)
     )
+    mi = np.asarray(vm_inc.means)[np.asarray(vm_inc.dir_vals)[:n]]
+    mb = np.asarray(vm_batch.means)[np.asarray(vm_batch.dir_vals)[:n]]
+    assert np.allclose(mi, mb, atol=1e-9)
 
 
 def test_gaussian_voxelmap_nn(rng):
@@ -70,7 +74,7 @@ def test_gaussian_voxelmap_nn(rng):
     # containing voxel (search offsets = 1, center only).
     d2, idx, found = vm.nearest_neighbor_search(jnp.asarray(pts))
     assert np.all(np.asarray(found))
-    keys = np.asarray(vm.keys)
+    keys = np.asarray(vm.vox_keys)  # idx is a slot id
     coords = np.floor(pts / 1.0).astype(np.int64) + (1 << 20)
     expect_keys = (coords[:, 2] << 42) | (coords[:, 1] << 21) | coords[:, 0]
     assert np.array_equal(keys[np.asarray(idx)], expect_keys)

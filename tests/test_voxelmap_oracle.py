@@ -207,25 +207,33 @@ def test_ivm_cell_cap_keeps_first_arrivals():
     assert np.allclose(stored[:, :3], pts[:6], atol=1e-12)
 
 
-def test_ivm_capacity_overflow_drops_highest_key_rows():
-    """Documented IVM overflow policy: when total stored points would
-    exceed capacity, the highest-key (merged-order tail) rows are
-    dropped; the table stays sorted and compact."""
+def test_ivm_capacity_overflow_drops_highest_key_new_voxels():
+    """Documented IVM overflow policy (slot-table design): once all
+    voxel slots are taken, NEW voxels are dropped from the highest-key
+    end; existing voxels are never displaced."""
     rng = np.random.default_rng(17)
     pts = (rng.permutation(64)[:, None] * np.array([1.0, 0, 0]))[None].reshape(64, 3)
     pts = pts + 0.5
+    # cell_capacity=1 → exactly 32 voxel slots for 64 distinct voxels.
     vm = IncrementalVoxelMap.empty(
-        1.0, capacity=32, dtype=jnp.float64, min_sq_dist_in_cell=0.0
+        1.0, capacity=32, dtype=jnp.float64, cell_capacity=1,
+        min_sq_dist_in_cell=0.0,
     )
     vm = vm.insert(PointCloud.from_points(pts))
     assert int(vm.size()) == 32
-    keys = np.asarray(vm.point_keys)
     valid = np.asarray(vm.valid_points_mask())
     assert valid.sum() == 32
     stored_x = np.sort(np.asarray(vm.points_flat())[valid][:, 0])
     # lowest 32 voxel keys = lowest 32 x coordinates here
     assert np.allclose(stored_x, np.sort(pts[:, 0])[:32], atol=1e-12)
-    assert np.all(np.diff(keys[valid]) > 0)  # sorted, unique (1 pt/voxel)
+    # existing voxels survive a later overflowing insert untouched
+    far = PointCloud.from_points(np.array([[100.5, 0.5, 0.5]]))
+    vm2 = vm.insert(far)
+    assert int(vm2.size()) == 32
+    stored_x2 = np.sort(
+        np.asarray(vm2.points_flat())[np.asarray(vm2.valid_points_mask())][:, 0]
+    )
+    assert np.allclose(stored_x2, stored_x, atol=1e-12)
 
 
 def test_gvm_capacity_overflow_drops_highest_key_voxels():
