@@ -73,6 +73,76 @@ def eigh3x3(A: jax.Array, sweeps: int = 6) -> Tuple[jax.Array, jax.Array]:
     return vals, V
 
 
+@jax.jit
+def smallest_eigvec3x3(A: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric
+    [..., 3, 3] matrices, in closed form.
+
+    This is the hot path of normal/covariance estimation: the GICP
+    plane regularization V·diag(1e-3,1,1)·Vᵀ only depends on the
+    smallest eigenvector (it equals I − (1−1e-3)·v₀v₀ᵀ) and the normal
+    IS that vector, so the full decomposition is never needed. The
+    analytic method (same math as the reference's
+    Eigen::SelfAdjointEigenSolver::computeDirect,
+    util/normal_estimation.hpp:88-89) is pure elementwise arithmetic —
+    XLA fuses it into ONE kernel, vs 18 batched rotation steps for the
+    cyclic-Jacobi `eigh3x3`.
+
+    Method: scale A, get the smallest root of the characteristic cubic
+    via the trigonometric formula, then extract the (1-D) kernel of
+    A − λ₀I as the largest cross product of its rows (pivoting keeps the
+    extraction well-conditioned). Degenerate cases:
+      * A ≈ c·I (no deviatoric part): returns e₀ = (1,0,0), matching
+        Jacobi/Eigen on an identity-like input.
+      * λ₀ ≈ λ₁ (linear/isotropic neighborhoods): the direction within
+        the degenerate eigenplane is arbitrary — for the reference too —
+        but the result stays orthogonal to the well-separated largest
+        eigenvector to first order (the leading terms of the row cross
+        products cancel exactly).
+    """
+    dtype = A.dtype
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+    # Scale to unit max-entry for conditioning of the cubic.
+    scale = jnp.max(jnp.abs(A), axis=(-1, -2), keepdims=True)
+    s = jnp.where(scale > tiny, scale, 1.0)
+    As = A / s
+
+    q = (As[..., 0, 0] + As[..., 1, 1] + As[..., 2, 2]) / 3.0
+    B = As - q[..., None, None] * eye
+    p2 = jnp.sum(B * B, axis=(-1, -2)) / 6.0  # tr(B²)/6, B symmetric
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    detB = (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
+        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
+        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+    )
+    safe_p = jnp.where(p > tiny, p, 1.0)
+    r = jnp.clip(detB / (2.0 * safe_p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # Roots: q + 2p·cos(phi + 2πk/3); phi ∈ [0, π/3] ⇒ k=1 is smallest.
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    C = As - lam0[..., None, None] * eye
+    c01 = jnp.cross(C[..., 0, :], C[..., 1, :])
+    c02 = jnp.cross(C[..., 0, :], C[..., 2, :])
+    c12 = jnp.cross(C[..., 1, :], C[..., 2, :])
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    v = jnp.where(
+        ((n01 >= n02) & (n01 >= n12))[..., None],
+        c01,
+        jnp.where((n02 >= n12)[..., None], c02, c12),
+    )
+    nv = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    ok = (nv > tiny) & (p > tiny)[..., None]
+    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(ok, v / jnp.where(ok, nv, 1.0), e0)
+
+
 def inv3x3(A: jax.Array) -> jax.Array:
     """Batched closed-form 3x3 inverse via adjugate (reference computes
     RCR.block<3,3>().inverse() per point — gicp_factor.hpp:60)."""

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.ops.knn import KdTree, brute_force_knn
-from small_gicp_tpu.ops.eigh3 import eigh3x3
+from small_gicp_tpu.ops.eigh3 import smallest_eigvec3x3
 
 # Squared distances above this are hits on sentinel padding rows, i.e. the
 # neighbor does not exist (cloud smaller than k).
@@ -67,27 +67,27 @@ def _estimate_impl(
                           precision=jax.lax.Precision.HIGHEST)  # [N,3,3]
     cov = sum_cross / safe_counts[:, None, None] - mean[:, :, None] * mean[:, None, :]
 
-    _, eigvecs = eigh3x3(cov)
+    # Only the smallest eigenvector is ever needed: the normal IS that
+    # vector, and the plane regularization V·diag(1e-3,1,1)·Vᵀ equals
+    # I − (1−1e-3)·v₀v₀ᵀ (the two unit eigenvalues make the complement
+    # subspace isotropic). Closed-form solver = one fused kernel instead
+    # of 18 Jacobi rotation steps.
+    v0 = smallest_eigvec3x3(cov)
 
     point_valid = (jnp.arange(n) < num_points) & (counts >= _MIN_NEIGHBORS)
 
     normals = None
     covs = None
     if need_normals:
-        normal = eigvecs[:, :, 0]
-        norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-        normal = normal / jnp.maximum(norm, 1e-30)
-        flip = jnp.sum(xyz * normal, axis=-1) > 0.0
-        normal = jnp.where(flip[:, None], -normal, normal)
+        flip = jnp.sum(xyz * v0, axis=-1) > 0.0
+        normal = jnp.where(flip[:, None], -v0, v0)
         normal = jnp.where(point_valid[:, None], normal, 0.0)
         normals = jnp.concatenate(
             [normal, jnp.zeros((n, 1), dtype)], axis=-1
         )
     if need_covs:
-        values = jnp.asarray([1e-3, 1.0, 1.0], dtype)
-        reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs,
-                         precision=jax.lax.Precision.HIGHEST)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
+        reg = eye - (1.0 - 1e-3) * v0[:, :, None] * v0[:, None, :]
         covs = jnp.where(point_valid[:, None, None], reg, eye)
 
     return normals, covs

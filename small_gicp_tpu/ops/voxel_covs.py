@@ -41,7 +41,7 @@ from small_gicp_tpu.ops.voxel_keys import (
     voxel_coords,
     voxel_keys,
 )
-from small_gicp_tpu.ops.eigh3 import eigh3x3
+from small_gicp_tpu.ops.eigh3 import smallest_eigvec3x3
 
 _MIN_NEIGHBOR_POINTS = 5  # same invalid threshold as normal_estimation.hpp:71
 
@@ -153,21 +153,19 @@ def voxelgrid_sampling_with_covs_impl(
     mu = nb_sums / safe[:, None]
     cov = nb_outer / safe[:, None, None] - mu[:, :, None] * mu[:, None, :]
 
-    _, eigvecs = eigh3x3(cov)
+    v0 = smallest_eigvec3x3(cov)
     enough = (nb_count >= _MIN_NEIGHBOR_POINTS) & out_valid
 
-    # GICP plane regularization (normal_estimation.hpp:40-45).
-    values = jnp.asarray([1e-3, 1.0, 1.0], dtype)
-    reg = jnp.einsum("nij,j,nkj->nik", eigvecs, values, eigvecs,
-                     precision=jax.lax.Precision.HIGHEST)
+    # GICP plane regularization (normal_estimation.hpp:40-45):
+    # V·diag(1e-3,1,1)·Vᵀ ≡ I − (1−1e-3)·v₀v₀ᵀ, so only the smallest
+    # eigenvector is needed (see ops/eigh3.py:smallest_eigvec3x3).
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m, 3, 3))
+    reg = eye - (1.0 - 1e-3) * v0[:, :, None] * v0[:, None, :]
     out_covs = jnp.where(enough[:, None, None], reg, eye)
 
     # Normals: smallest-eigvec, flipped toward the origin
     # (normal_estimation.hpp:18-25).
-    normal = eigvecs[:, :, 0]
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.maximum(nn, 1e-30)
+    normal = v0
     flip = jnp.sum(out_points[:, :3] * normal, axis=-1) > 0.0
     normal = jnp.where(flip[:, None], -normal, normal)
     normal = jnp.where(enough[:, None], normal, 0.0)
