@@ -1,15 +1,27 @@
-"""Multi-host scaffolding smoke tests (single-process, 8-device CPU mesh).
+"""Multi-host scaffolding tests.
 
-Real multi-host hardware isn't available here; these validate the
-process-agnostic pieces: no-op initialize in a single-process session,
-globally-consistent mesh construction, the 2-D (host, chip) mesh
-factorization, and a collective over the global mesh.
+Single-process pieces (no-op initialize, mesh construction, 2-D mesh
+factorization) run on the suite's 8-virtual-device CPU mesh. On top of
+those, `test_two_process_psum` actually launches TWO OS processes,
+brings up `jax.distributed` between them (parallel/multihost.py), builds
+the process-spanning mesh, and runs the framework's core collective —
+the psum'd (H, b, e) normal-equation reduction shape — across the
+process boundary. This is the CPU stand-in for a 2-host TPU slice: the
+orchestration path (coordinator, global device enumeration, SPMD
+execution of one jitted program from every process) is identical; only
+the transport differs (gRPC loopback here, DCN there).
 """
+
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
+import pytest
 
 from small_gicp_tpu.parallel import multihost
 
@@ -44,3 +56,114 @@ def test_global_mesh_2d_factorization():
     mesh = multihost.global_mesh_2d(("host", "chip"))
     assert mesh.devices.shape == (1, len(jax.devices()))
     assert mesh.axis_names == ("host", "chip")
+
+_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from small_gicp_tpu.parallel import multihost
+
+multihost.initialize(
+    coordinator_address=sys.argv[2], num_processes=2, process_id=proc_id
+)
+pi, pc, local = multihost.process_info()
+assert pc == 2, pc
+assert local == 4, local
+mesh = multihost.global_mesh("data")
+assert mesh.devices.size == 8, mesh
+
+# The framework's core cross-device collective: every shard produces a
+# local (H, b, e) block and the global normal equations are one psum
+# (parallel/sharding.py's point-axis reduction). 8 shards x 43 floats.
+def local_hbe(x):
+    # x: [N/8, 6] local rows; H = x^T x, b = x^T 1, e = sum(x^2)
+    h = x.T @ x
+    b = jnp.sum(x, axis=0)
+    e = jnp.sum(x * x)
+    h = jax.lax.psum(h, "data")
+    b = jax.lax.psum(b, "data")
+    e = jax.lax.psum(e, "data")
+    return h, b, e
+
+n = 1024
+full = np.arange(n * 6, dtype=np.float64).reshape(n, 6) / (n * 6.0)
+
+fn = shard_map(
+    local_hbe, mesh=mesh, in_specs=P("data"), out_specs=(P(), P(), P())
+)
+fn = jax.jit(fn, out_shardings=None)
+
+# Each process supplies ONLY its local shards of the global array.
+from jax.sharding import NamedSharding
+sharding = NamedSharding(mesh, P("data"))
+garr = jax.make_array_from_callback(
+    (n, 6), sharding, lambda idx: full[idx]
+)
+h, b, e = fn(garr)
+h = np.asarray(jax.device_get(h))
+b = np.asarray(jax.device_get(b))
+e = float(e)
+
+ref_h = full.T @ full
+ref_b = full.sum(axis=0)
+ref_e = float((full * full).sum())
+assert np.allclose(h, ref_h, atol=1e-9), (h, ref_h)
+assert np.allclose(b, ref_b, atol=1e-9)
+assert abs(e - ref_e) < 1e-9
+print(f"proc {pi}: psum over 2 processes OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_psum(tmp_path):
+    """Two OS processes form one 8-device mesh and psum across it."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # Make the repo importable from the subprocess regardless of cwd.
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), coord],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=220)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "psum over 2 processes OK" in out, out
