@@ -203,10 +203,12 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
       2. directory-lookup each run; for existing voxels GATHER the old
          slot's row, un-finalize (row * count), add the run sums, and
          re-finalize — gaussian_voxelmap.hpp:33-53 as running sums,
-      3. allocate free slots to new voxels in ascending-key order,
-      4. scatter the finalized rows at their slots (head rows only — a
+      3. refresh stamps of hit slots and evict expired voxels (freeing
+         their slots for this very insert),
+      4. allocate free slots to new voxels in ascending-key order,
+      5. scatter the finalized rows at their slots (head rows only — a
          scan-sized scatter), and
-      5. re-sort the [V]-row directory.
+      6. re-sort the [V]-row directory.
 
     LRU semantics match the reference exactly: every voxel receiving
     points this insert is stamped with the PRE-increment counter
@@ -271,9 +273,26 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
         0.0,
     )
 
-    # --- 3. allocate free slots to new voxels (ascending-key order) ----
+    # --- 3. LRU eviction BEFORE allocation -----------------------------
+    # The reference inserts into an unbounded hash table and then
+    # flushes expired voxels (incremental_voxelmap.hpp:74-79); with
+    # bounded slots the same net effect requires freeing expired slots
+    # FIRST, so a full map never drops the scan that triggers the flush.
+    # Voxels hit by this scan refresh their stamp to the pre-increment
+    # counter and can therefore never expire (horizon >= 1) — the kill
+    # set is identical to a post-insert flush.
+    hslot = jnp.where(hit & seg_first, slot_hit, V)
+    lru = vm.lru.at[hslot].set(
+        jnp.full((n,), stamp_val, jnp.int32), mode="drop"
+    )
+    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
+    expired = (lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
+    kill = do_clear & expired & (vm.vox_keys != INVALID_KEY)
+    vox_keys0 = jnp.where(kill, INVALID_KEY, vm.vox_keys)
+
+    # --- 4. allocate free slots to new voxels (ascending-key order) ----
     new_head = seg_first & ~hit
-    free = vm.vox_keys == INVALID_KEY
+    free = vox_keys0 == INVALID_KEY
     fslot = jnp.where(free, jnp.arange(V, dtype=jnp.int32), imax)
     fsorted = jax.lax.sort(fslot)
     nh = new_head.astype(jnp.int32)
@@ -284,21 +303,15 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
     slot_all = jnp.where(hit, slot_hit, alloc)
     write_head = seg_first & (slot_all < V)
 
-    # --- 4. finalize + scatter head rows at their slots ----------------
+    # --- 5. finalize + scatter head rows; directory rebuild ------------
     cnt = jnp.maximum(u_sum[:, 13:14], 1.0)
     fin = jnp.concatenate([u_sum[:, 0:13] / cnt, u_sum[:, 13:14]], axis=1)
     tslot = jnp.where(write_head, slot_all, V)
     payload = vm.payload.at[tslot].set(fin, mode="drop")
-    vox_keys = vm.vox_keys.at[tslot].set(k_s, mode="drop")
-    lru = vm.lru.at[tslot].set(
+    vox_keys = vox_keys0.at[tslot].set(k_s, mode="drop")
+    lru = lru.at[tslot].set(
         jnp.full((n,), stamp_val, jnp.int32), mode="drop"
     )
-
-    # --- 5. eviction + directory rebuild -------------------------------
-    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
-    expired = (lru.astype(jnp.int64) + vm.lru_horizon) < counter.astype(jnp.int64)
-    kill = do_clear & expired & (vox_keys != INVALID_KEY)
-    vox_keys = jnp.where(kill, INVALID_KEY, vox_keys)
     occupied = vox_keys != INVALID_KEY
 
     dk, dv = jax.lax.sort(
@@ -731,9 +744,30 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
     rank = ex - ex[rs]
     keep_new = ok & (occ_base + rank < C)
 
+    # --- LRU eviction BEFORE allocation ---------------------------------
+    # The reference inserts into an unbounded hash table and then
+    # flushes expired voxels (incremental_voxelmap.hpp:74-79); with
+    # bounded slots the same net effect requires freeing expired slots
+    # FIRST, so a full map never drops the scan that triggers the flush.
+    # Every voxel receiving scan keys this insert (even keys whose
+    # points the dedup/cap rejects, :69-71) refreshes its stamp to the
+    # pre-increment counter and can therefore never expire
+    # (horizon >= 1) — the kill set is identical to a post-insert flush.
+    hslot = jnp.where(hit & seg_first, slot_hit, V)
+    stamps = vm.stamps.at[hslot].set(
+        jnp.full((n,), stamp_val, jnp.int32), mode="drop"
+    )
+    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
+    expired = (
+        stamps.astype(jnp.int64) + vm.lru_horizon
+    ) < counter.astype(jnp.int64)
+    kill = do_clear & expired & (vm.vox_keys != INVALID_KEY)
+    vox_keys0 = jnp.where(kill, INVALID_KEY, vm.vox_keys)
+    occ0 = jnp.where(kill, 0, vm.occ)
+
     # --- allocate free slots to new voxels (ascending-key order) -------
     new_head = seg_first & ~hit
-    free = vm.vox_keys == INVALID_KEY
+    free = vox_keys0 == INVALID_KEY
     fslot = jnp.where(free, jnp.arange(V, dtype=jnp.int32), imax)
     fsorted = jax.lax.sort(fslot)  # free slot ids ascending, imax tail
     nh = new_head.astype(jnp.int32)
@@ -760,20 +794,11 @@ def _ivm_insert(vm: IncrementalVoxelMap, points, normals, covs, num_points):
     # --- slot metadata updates (head rows hit unique slots) ------------
     touched_head = seg_first & (slot_all < V)
     tslot = jnp.where(touched_head, slot_all, V)
-    vox_keys = vm.vox_keys.at[tslot].set(k_s, mode="drop")
-    occ_new = vm.occ.at[tslot].set(occ_base + added, mode="drop")
-    stamps = vm.stamps.at[tslot].set(
+    vox_keys = vox_keys0.at[tslot].set(k_s, mode="drop")
+    occ_new = occ0.at[tslot].set(occ_base + added, mode="drop")
+    stamps = stamps.at[tslot].set(
         jnp.full((n,), stamp_val, jnp.int32), mode="drop"
     )
-
-    # --- LRU eviction (uniformly covers refreshed + newborn voxels) ----
-    do_clear = nonempty & ((counter % vm.lru_clear_cycle) == 0)
-    expired = (
-        stamps.astype(jnp.int64) + vm.lru_horizon
-    ) < counter.astype(jnp.int64)
-    kill = do_clear & expired & (vox_keys != INVALID_KEY)
-    vox_keys = jnp.where(kill, INVALID_KEY, vox_keys)
-    occ_new = jnp.where(kill, 0, occ_new)
     occupied = vox_keys != INVALID_KEY
 
     # --- rebuild the directory: ONE V-row (key, packed val) sort -------

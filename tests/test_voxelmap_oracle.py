@@ -285,3 +285,60 @@ def test_ivm_insert_counter_and_refresh():
         vm2 = vm2.insert(elsewhere)
     _, _, found = vm2.nearest_neighbor_search(jnp.asarray([[0.5, 0.5, 0.5]]))
     assert bool(found[0])
+
+
+def test_ivm_slots_freed_by_eviction_are_reused():
+    """Slot-table-specific: eviction must return slots to the free pool so
+    a full map can keep tracking new space (the slot allocator scans for
+    INVALID_KEY slots — a stale occ/key would leak capacity forever)."""
+    vm = IncrementalVoxelMap.empty(
+        1.0, capacity=8, dtype=jnp.float64, cell_capacity=1,
+        lru_horizon=2, lru_clear_cycle=1, min_sq_dist_in_cell=0.0,
+    )
+    V = vm.voxel_capacity  # rounded to 8
+
+    def block(x0):
+        # V distinct voxels starting at x = x0
+        xs = (np.arange(V) + x0)[:, None] * np.array([1.0, 0, 0]) + 0.5
+        return PointCloud.from_points(xs)
+
+    vm = vm.insert(block(0))  # fills every slot
+    assert int(vm.num_voxels) == V
+    # Age the original block out (horizon 2, clear cycle 1), while
+    # inserting fresh blocks that need the freed slots.
+    for step in range(1, 5):
+        vm = vm.insert(block(100 * step))
+    assert int(vm.num_voxels) <= V
+    # The newest block must be fully present — impossible unless evicted
+    # slots were reallocated.
+    q = (np.arange(V) + 400)[:, None] * np.array([1.0, 0, 0]) + 0.5
+    _, _, found = vm.nearest_neighbor_search(jnp.asarray(q))
+    assert bool(np.all(np.asarray(found))), np.asarray(found)
+    # ...and the first block must be gone.
+    q0 = (np.arange(V))[:, None] * np.array([1.0, 0, 0]) + 0.5
+    _, _, found0 = vm.nearest_neighbor_search(jnp.asarray(q0))
+    assert not bool(np.any(np.asarray(found0)))
+
+
+def test_gvm_slots_freed_by_eviction_are_reused():
+    """Same reuse property for the Gaussian map's slot allocator."""
+    from small_gicp_tpu.models.voxelmap import GaussianVoxelMap
+
+    vm = GaussianVoxelMap.empty(
+        1.0, capacity=8, dtype=jnp.float64, lru_horizon=2, lru_clear_cycle=1
+    )
+    V = vm.capacity
+
+    def block(x0):
+        xs = (np.arange(V) + x0)[:, None] * np.array([1.0, 0, 0]) + 0.5
+        c = np.tile(np.eye(3) * 1e-3, (V, 1, 1))
+        return PointCloud.from_points(xs).replace(covs=jnp.asarray(c))
+
+    vm = vm.insert(block(0))
+    assert int(vm.num_voxels) == V
+    for step in range(1, 5):
+        vm = vm.insert(block(100 * step))
+    assert int(vm.num_voxels) <= V
+    q = (np.arange(V) + 400)[:, None] * np.array([1.0, 0, 0]) + 0.5
+    _, _, found = vm.nearest_neighbor_search(jnp.asarray(q))
+    assert bool(np.all(np.asarray(found)))
