@@ -509,6 +509,11 @@ class IncrementalVoxelMap:
                              "(packed with the slot id in the directory)")
         v = voxel_capacity if voxel_capacity is not None else capacity
         v = -(-v // 8) * 8  # multiple of 8: shardable over small meshes
+        if v >= (1 << 23):
+            raise ValueError(
+                f"voxel_capacity {v} exceeds 2^23 slots (the directory "
+                "packs (slot << 8) | occupancy into int32)"
+            )
         d = 4 + (4 if has_normals else 0) + (9 if has_covs else 0)
         pad_row = jnp.concatenate(
             [
