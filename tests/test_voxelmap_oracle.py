@@ -342,3 +342,29 @@ def test_gvm_slots_freed_by_eviction_are_reused():
     q = (np.arange(V) + 400)[:, None] * np.array([1.0, 0, 0]) + 0.5
     _, _, found = vm.nearest_neighbor_search(jnp.asarray(q))
     assert bool(np.all(np.asarray(found)))
+
+
+def test_ivm_randomized_stream_matches_oracle():
+    """Randomized batched stress: 30 inserts x 64 points in a small world
+    (tight cell cap, fast LRU cycle) must match the sequential oracle
+    voxel-for-voxel and point-for-point. min_sq_dist_in_cell=0 disables
+    dedup, so the batched implementation has NO approximation left —
+    arrival-order caps, stamping, eviction timing, and slot recycling
+    all have to line up exactly with the reference's sequential loop."""
+    rng = np.random.default_rng(42)
+    vm = IncrementalVoxelMap.empty(
+        1.0, capacity=256, dtype=jnp.float64, cell_capacity=3,
+        lru_horizon=4, lru_clear_cycle=2, min_sq_dist_in_cell=0.0,
+    )
+    oracle = OracleIVM(1.0, cell_cap=3, min_sq=0.0, horizon=4, cycle=2)
+
+    for step in range(30):
+        # drifting window keeps creating new voxels while old ones expire
+        lo = step * 0.4
+        pts = rng.uniform(lo, lo + 4.0, size=(64, 3))
+        vm = vm.insert(PointCloud.from_points(pts))
+        oracle.insert(pts)
+        got = _ivm_points_by_voxel(vm)
+        want = oracle.points_by_voxel()
+        _match_voxel_contents(got, want, atol=1e-9)
+        assert int(vm.size()) == oracle.size()
