@@ -368,3 +368,55 @@ def test_ivm_randomized_stream_matches_oracle():
         want = oracle.points_by_voxel()
         _match_voxel_contents(got, want, atol=1e-9)
         assert int(vm.size()) == oracle.size()
+
+
+def test_gvm_randomized_stream_matches_oracle():
+    """Randomized batched stress for the Gaussian map: drifting inserts
+    with a fast LRU cycle must reproduce the reference's running
+    mean/cov accumulation (gaussian_voxelmap.hpp:32-53: un-finalize,
+    add, re-finalize) and eviction timing exactly."""
+    rng = np.random.default_rng(7)
+    vm = GaussianVoxelMap.empty(
+        1.0, capacity=256, dtype=jnp.float64, lru_horizon=4, lru_clear_cycle=2
+    )
+    counter = 0
+    oracle = {}  # coord -> [count, sum_pt(3), sum_cov(3,3), lru]
+
+    for step in range(20):
+        lo = step * 0.4
+        pts = rng.uniform(lo, lo + 4.0, size=(48, 3))
+        a = rng.normal(size=(48, 3, 3))
+        covs = a @ np.swapaxes(a, 1, 2) + np.eye(3) * 1e-3
+
+        cloud = PointCloud.from_points(pts).replace(covs=jnp.asarray(covs))
+        vm = vm.insert(cloud)
+
+        for p, c in zip(pts, covs):
+            coord = tuple(np.floor(p).astype(np.int64))
+            e = oracle.setdefault(coord, [0, np.zeros(3), np.zeros((3, 3)), 0])
+            e[0] += 1
+            e[1] = e[1] + p
+            e[2] = e[2] + c
+            e[3] = counter  # pre-increment stamp
+        counter += 1
+        if counter % 2 == 0:
+            oracle = {k: v for k, v in oracle.items() if v[3] + 4 >= counter}
+
+        assert int(vm.num_voxels) == len(oracle)
+        vk = np.asarray(vm.vox_keys)
+        means = np.asarray(vm.means)
+        vcovs = np.asarray(vm.covs)
+        counts = np.asarray(vm.counts)
+        off = 1 << 20
+        for slot in np.nonzero(vk != np.iinfo(np.int64).max)[0]:
+            k = int(vk[slot])
+            coord = (
+                (k & ((1 << 21) - 1)) - off,
+                ((k >> 21) & ((1 << 21) - 1)) - off,
+                ((k >> 42) & ((1 << 21) - 1)) - off,
+            )
+            assert coord in oracle, coord
+            cnt, sp, sc, _ = oracle[coord]
+            assert counts[slot] == cnt
+            assert np.allclose(means[slot][:3], sp / cnt, atol=1e-9)
+            assert np.allclose(vcovs[slot], sc / cnt, atol=1e-9)
