@@ -248,13 +248,21 @@ def _gvm_insert(vm: GaussianVoxelMap, points, covs, num_points) -> GaussianVoxel
         [pts_s * w[:, None], covs_s.reshape(n, 9) * w[:, None], w[:, None]],
         axis=1,
     )  # [n, 14] = sum_pts(4) | sum_covs(9) | count(1)
+    # The prefix runs over the WHOLE scan (~1e6 magnitude at 100 m
+    # coordinates x 16k points), so an f32 cumsum would put ~0.1 m of
+    # rounding into every run difference — accumulate in f64 (x64 is
+    # always enabled by the package) and round once after the subtract.
     pref = jnp.concatenate(
-        [jnp.zeros((1, 14), dtype), jnp.cumsum(allc, axis=0)], axis=0
+        [
+            jnp.zeros((1, 14), jnp.float64),
+            jnp.cumsum(allc.astype(jnp.float64), axis=0),
+        ],
+        axis=0,
     )  # exclusive boundaries [n+1, 14]
     # end of each run = next run head strictly after this row (or n)
     nxt = jax.lax.cummin(jnp.where(seg_first, pos32, n), reverse=True)
     run_end = jnp.concatenate([nxt[1:], jnp.asarray([n], jnp.int32)])
-    u_sum = pref[jnp.where(seg_first, run_end, pos32)] - pref[pos32]
+    u_sum = (pref[jnp.where(seg_first, run_end, pos32)] - pref[pos32]).astype(dtype)
     # (non-head rows give zero rows; only head rows are ever gathered)
 
     # --- 2. fold existing voxels into the run sums ---------------------

@@ -99,6 +99,11 @@ def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
     pay = jax.lax.dot_general(
         t_ref[:], onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Explicit: a one-pass bf16 dot would quantize the payload rows
+        # (target means/covs) to 8-bit mantissa even though the one-hot
+        # side is exact — don't depend on the package-level global
+        # (__init__.py:24-32) surviving an embedding app's override.
+        precision=jax.lax.Precision.HIGHEST,
     )  # [16, BQ]
     best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
     best_pay[:] = jnp.where(better, pay, best_pay[:])
@@ -218,6 +223,7 @@ def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
         acc_ref[:] = jax.lax.dot_general(
             ones8, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         corr = jnp.concatenate(
@@ -384,6 +390,7 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
     acc_ref[:] = jax.lax.dot_general(
         ones8, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

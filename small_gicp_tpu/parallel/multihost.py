@@ -61,6 +61,22 @@ from jax.sharding import Mesh
 
 _initialized = False
 
+def _pod_environment() -> bool:
+    """True when launcher-injected env identifies a multi-worker TPU pod
+    where jax.distributed.initialize() can auto-discover the coordinator.
+
+    TPU_WORKER_HOSTNAMES alone is not sufficient: single-host dev boxes
+    (including this one) get it set to "localhost" by the TPU plugin, so
+    it only counts when it lists more than one worker.
+    """
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hostnames:
+        return True
+    return any(
+        os.environ.get(k)
+        for k in ("MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+    )
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
@@ -81,16 +97,27 @@ def initialize(
     if _initialized:
         return
     env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator_address is None and env_addr is None and num_processes is None:
+    explicit = (
+        coordinator_address is not None
+        or env_addr is not None
+        or num_processes is not None
+    )
+    if not explicit and not _pod_environment():
         # Single-process session (tests, notebooks): nothing to do.
         _initialized = True
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except ValueError:
+        if explicit:
+            raise
+        # Pod markers present but auto-discovery found no coordinator
+        # (e.g. a pod-flavored single-host sandbox): run single-process.
     _initialized = True
 
 

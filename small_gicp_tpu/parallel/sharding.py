@@ -120,7 +120,12 @@ def align_point_sharded(
     init_T = jax.device_put(jnp.asarray(init_T), repl)
 
     def fn(t, s, T0):
-        return align_impl(t, s, None, T0, **kwargs)
+        # use_fused="never": like _batched_align_fn above, the fused
+        # Pallas kernel's pallas_call cannot be partitioned by GSPMD
+        # along the sharded point axis — on a TPU mesh the auto-routing
+        # would otherwise either fail to compile or silently all-gather
+        # the source onto every chip.
+        return align_impl(t, s, None, T0, use_fused="never", **kwargs)
 
     return jax.jit(fn)(target, source, init_T)
 
