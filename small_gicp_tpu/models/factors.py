@@ -236,9 +236,29 @@ class _FactorBase:
         self.robust_kernel = robust_kernel
         self.robust_c = robust_c
 
-    def linearize(self, target, source, target_tree, T, max_dist_sq=1.0):
+    def linearize(
+        self,
+        target,
+        source,
+        target_tree,
+        T,
+        source_index=None,
+        rejector=None,
+        max_dist_sq=1.0,
+    ):
+        """Linearize the factor(s) at pose T.
+
+        Batched by default — returns (H [N,6,6], b [N,6], e [N],
+        mask [N]) for every source point in one pass (the TPU shape of
+        the reference's per-factor loop). With `source_index` it
+        reproduces the reference binding exactly (factors.cpp:53-103):
+        returns (success, H 6x6, b 6, e) for that single point.
+        `rejector` (DistanceRejector) overrides max_dist_sq.
+        """
         from small_gicp_tpu.models.registration import _search_correspondences
 
+        if rejector is not None:
+            max_dist_sq = rejector.max_dist_sq
         T = jnp.asarray(T, source.points.dtype)
         corr = _search_correspondences(
             self.factor_type,
@@ -253,6 +273,9 @@ class _FactorBase:
         H_i, b_i, e_i = linearize_per_point(
             corr, T, source.points, self.robust_kernel, self.robust_c
         )
+        if source_index is not None:
+            i = int(source_index)
+            return bool(corr.mask[i]), H_i[i], b_i[i], float(e_i[i])
         return H_i, b_i, e_i, corr.mask
 
 
@@ -264,6 +287,10 @@ class DistanceRejector:
 
     def __init__(self, max_dist: float = 1.0):
         self.max_dist_sq = max_dist * max_dist
+
+    def set_max_distance(self, dist: float) -> None:
+        """Binding parity: factors.cpp:29-41."""
+        self.max_dist_sq = dist * dist
 
     def __call__(self, sq_dists: jax.Array) -> jax.Array:
         return sq_dists <= self.max_dist_sq

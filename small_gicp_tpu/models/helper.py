@@ -83,6 +83,8 @@ def align(
     translation_eps: float = 1e-3,
     verbose: bool = False,
     max_points: Optional[int] = None,
+    rotation_epsilon: Optional[float] = None,
+    translation_epsilon: Optional[float] = None,
 ) -> RegistrationResult:
     """One-shot align, covering all three reference overloads
     (registration_helper.cpp:57-137; Python surface align.cpp:95-106):
@@ -90,7 +92,15 @@ def align(
       * raw [N,3]/[N,4] arrays → full preprocessing → align
       * preprocessed PointClouds (+ optional KdTree) → align
       * GaussianVoxelMap target + PointCloud source → VGICP align
+
+    rotation_epsilon/translation_epsilon are the reference bindings'
+    spellings (align.cpp:104-105) and take precedence over the short
+    rotation_eps/translation_eps forms when given.
     """
+    if rotation_epsilon is not None:
+        rotation_eps = rotation_epsilon
+    if translation_epsilon is not None:
+        translation_eps = translation_epsilon
     registration_type = registration_type.lower()
     if registration_type not in ("icp", "plane_icp", "gicp", "vgicp"):
         raise ValueError(f"unknown registration type {registration_type!r}")

@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud, transform_covs
@@ -180,13 +181,22 @@ class GaussianVoxelMap:
         return _gvm_nn(self, query_xyz)
 
 
-    # Flat-cloud views (reference traits voxel_points/voxel_covs,
-    # incremental_voxelmap.hpp:255-291).
-    def voxel_points(self) -> jax.Array:
-        return self.means
+    # Inspection accessors (bindings parity: voxelmap.cpp voxel_points/
+    # voxel_covs return only the LIVE voxels, compacted —
+    # incremental_voxelmap.hpp:255-291). Host-side; for device-resident
+    # views use the raw `means`/`covs` tables with `valid_mask()`.
+    def voxel_points(self) -> np.ndarray:
+        """[num_voxels, 4] live voxel means (homogeneous), numpy."""
+        live = np.asarray(self.valid_mask())
+        return np.asarray(self.means)[live]
 
-    def voxel_covs(self) -> jax.Array:
-        return self.covs
+    def voxel_covs(self) -> np.ndarray:
+        """[num_voxels, 3, 3] live voxel covariances, numpy."""
+        live = np.asarray(self.valid_mask())
+        return np.asarray(self.covs)[live]
+
+    def __len__(self) -> int:
+        return int(self.num_voxels)
 
     def valid_mask(self) -> jax.Array:
         return self.vox_keys != INVALID_KEY
@@ -616,13 +626,45 @@ class IncrementalVoxelMap:
         return self.payload[:, off:off + 9].reshape(-1, 3, 3)
 
     def size(self) -> jax.Array:
-        """Total number of stored points."""
+        """Number of occupied voxels (reference contract:
+        incremental_voxelmap.hpp:49 / voxelmap.cpp size binding —
+        `size()` counts VOXELS; use num_points() for stored points)."""
+        return self.num_voxels
+
+    def num_points(self) -> jax.Array:
+        """Total number of stored points across all voxels."""
         return self.num_points_stored
+
+    def __len__(self) -> int:
+        return int(self.num_voxels)
 
     def valid_points_mask(self) -> jax.Array:
         c = self.cell_capacity
         j = jnp.arange(self.capacity, dtype=jnp.int32) % c
         return j < jnp.repeat(self.occ, c)
+
+    # Inspection accessors (bindings parity: voxelmap.cpp voxel_points/
+    # voxel_normals/voxel_covs — live points only, compacted; reference
+    # traits extraction incremental_voxelmap.hpp:255-291). Host-side
+    # numpy; device code uses points_flat()/valid_points_mask().
+    def voxel_points(self) -> np.ndarray:
+        """[num_points, 4] stored points (homogeneous), numpy."""
+        live = np.asarray(self.valid_points_mask())
+        return np.asarray(self.points_flat())[live]
+
+    def voxel_normals(self) -> Optional[np.ndarray]:
+        """[num_points, 4] stored normals, or None (no-normal payload)."""
+        if not self.has_normals:
+            return None
+        live = np.asarray(self.valid_points_mask())
+        return np.asarray(self.normals_flat())[live]
+
+    def voxel_covs(self) -> Optional[np.ndarray]:
+        """[num_points, 3, 3] stored covariances, or None."""
+        if not self.has_covs:
+            return None
+        live = np.asarray(self.valid_points_mask())
+        return np.asarray(self.covs_flat())[live]
 
 
 def _fine_hash(xyz: jax.Array, fine_leaf, coarse_keys: jax.Array) -> jax.Array:

@@ -163,6 +163,28 @@ class PointCloud:
     def __len__(self) -> int:
         return int(self.num_points)
 
+    # Bindings-parity accessors (pointcloud.cpp: size/empty and the
+    # singular point(i)/normal(i)/cov(i)). Host-side conveniences; bulk
+    # device access goes through the .points/.normals/.covs arrays.
+    def size(self) -> int:
+        return int(self.num_points)
+
+    def empty(self) -> bool:
+        return int(self.num_points) == 0
+
+    def point(self, i: int) -> np.ndarray:
+        """i-th point as a homogeneous 4-vector (numpy)."""
+        return np.asarray(self.points[i])
+
+    def normal(self, i: int) -> np.ndarray:
+        """i-th normal as a 4-vector (numpy)."""
+        return np.asarray(self.normals[i])
+
+    def cov(self, i: int) -> np.ndarray:
+        """i-th covariance as 3x3 (numpy; the reference stores 4x4
+        zero-padded for SIMD — padding is a CPU artifact, not carried)."""
+        return np.asarray(self.covs[i])
+
 
 def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
     """Apply a 4x4 rigid transform to [N,4] homogeneous points.

@@ -64,3 +64,24 @@ def test_per_point_matches_total(small_pair):
     np.testing.assert_allclose(np.asarray(jnp.sum(H_i, 0)), np.asarray(H), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(jnp.sum(b_i, 0)), np.asarray(b), rtol=1e-9)
     np.testing.assert_allclose(float(jnp.sum(e_i)), float(e), rtol=1e-9)
+
+
+def test_factor_single_index_linearize_matches_batched(small_pair):
+    """Reference binding form (factors.cpp:53-103): per-point
+    linearize(target, source, tree, T, source_index, rejector) returns
+    (success, H 6x6, b 6, e) equal to row i of the batched call."""
+    from small_gicp_tpu.models.factors import DistanceRejector
+
+    target, tree, source = small_pair
+    T = np.eye(4)
+    f = GICPFactor()
+    H_i, b_i, e_i, mask = f.linearize(target, source, tree, T)
+    rej = DistanceRejector(2.0)
+    rej.set_max_distance(1.0)  # parity setter
+    for i in (0, 3, 7):
+        ok, H, b, e = f.linearize(target, source, tree, T,
+                                  source_index=i, rejector=rej)
+        assert ok == bool(mask[i])
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H_i[i]))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(b_i[i]))
+        assert np.isclose(e, float(e_i[i]))

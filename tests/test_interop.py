@@ -111,3 +111,44 @@ def test_torch_and_structured(rng):
     rec["x"], rec["y"], rec["z"] = pts.T
     cloud2 = as_point_cloud(rec)
     np.testing.assert_allclose(cloud2.points_numpy()[:, :3], pts)
+
+
+def test_binding_parity_accessors(rng):
+    """The reference python bindings' inspection surface
+    (pointcloud.cpp / voxelmap.cpp): size/empty/point/normal/cov on
+    PointCloud; size-counts-voxels, __len__, voxel_points/normals/covs
+    on the maps."""
+    import jax.numpy as jnp
+    from small_gicp_tpu import PointCloud
+    from small_gicp_tpu.models.voxelmap import (
+        GaussianVoxelMap,
+        IncrementalVoxelMapNormalCov,
+    )
+
+    pts = rng.uniform(-3, 3, size=(100, 3))
+    pc = PointCloud.from_points(pts)
+    assert pc.size() == 100 and len(pc) == 100 and not pc.empty()
+    assert np.allclose(pc.point(7)[:3], pts[7]) and pc.point(7)[3] == 1.0
+    assert PointCloud.from_points(np.zeros((0, 3))).empty()
+
+    nrm = rng.normal(size=(100, 4))
+    cov = np.repeat(np.eye(3)[None], 100, axis=0)
+    pc = pc.replace(normals=jnp.asarray(nrm), covs=jnp.asarray(cov))
+    assert np.allclose(pc.normal(3), nrm[3])
+    assert pc.cov(5).shape == (3, 3)
+
+    ivm = IncrementalVoxelMapNormalCov(1.0, capacity=512, dtype=jnp.float64)
+    ivm = ivm.insert(pc)
+    assert int(ivm.size()) == int(ivm.num_voxels)  # size counts voxels
+    assert len(ivm) == int(ivm.num_voxels)
+    vp = ivm.voxel_points()
+    assert vp.shape == (int(ivm.num_points()), 4)
+    assert ivm.voxel_normals().shape == (vp.shape[0], 4)
+    assert ivm.voxel_covs().shape == (vp.shape[0], 3, 3)
+
+    gvm = GaussianVoxelMap.empty(1.0, capacity=512, dtype=jnp.float64)
+    gvm = gvm.insert(pc)
+    n_vox = int(gvm.num_voxels)
+    assert len(gvm) == n_vox
+    assert gvm.voxel_points().shape == (n_vox, 4)
+    assert gvm.voxel_covs().shape == (n_vox, 3, 3)

@@ -100,7 +100,7 @@ def test_incremental_map_insert_and_knn(rng):
                                    num_offsets=27, min_sq_dist_in_cell=1e-12)
     vm = vm.insert(cloud)
     assert int(vm.num_voxels) > 0
-    total = int(vm.size())
+    total = int(vm.num_points())
     assert 0 < total <= 2000
 
     # Self-query: every stored point must find itself at distance 0.
@@ -132,7 +132,8 @@ def test_incremental_map_cell_capacity(rng):
                                    cell_capacity=10, min_sq_dist_in_cell=0.0)
     vm = vm.insert(PointCloud.from_points(pts))
     assert int(vm.num_voxels) == 1
-    assert int(vm.size()) == 10
+    assert int(vm.size()) == 1  # size() counts voxels
+    assert int(vm.num_points()) == 10
 
 
 def test_incremental_map_min_dist_dedup(rng):
@@ -141,7 +142,7 @@ def test_incremental_map_min_dist_dedup(rng):
     vm = IncrementalVoxelMap.empty(1.0, capacity=8, dtype=jnp.float64,
                                    min_sq_dist_in_cell=0.01)
     vm = vm.insert(PointCloud.from_points(pts))
-    assert int(vm.size()) == 2
+    assert int(vm.num_points()) == 2
 
 
 def test_incremental_map_lru_eviction(rng):

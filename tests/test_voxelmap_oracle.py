@@ -106,7 +106,7 @@ def test_ivm_single_point_stream_matches_oracle_exactly():
     for p in pts:
         oracle.insert(p[None, :])
         vm = vm.insert(PointCloud.from_points(p[None, :]))
-    assert int(vm.size()) == oracle.size()
+    assert int(vm.num_points()) == oracle.size()
     _match_voxel_contents(_ivm_points_by_voxel(vm), oracle.points_by_voxel())
 
 
@@ -133,7 +133,7 @@ def test_ivm_batch_insert_divergence_bounded():
         )
         oracle.insert(scan)
         vm = vm.insert(PointCloud.from_points(scan))
-    got, want = int(vm.size()), oracle.size()
+    got, want = int(vm.num_points()), oracle.size()
     assert abs(got - want) <= 0.05 * want, (got, want)
     # Voxel sets must agree exactly (dedup never drops the first point
     # of a voxel).
@@ -202,7 +202,7 @@ def test_ivm_cell_cap_keeps_first_arrivals():
     )
     vm = vm.insert(PointCloud.from_points(pts[:4]))   # 4 points
     vm = vm.insert(PointCloud.from_points(pts[4:]))   # 2 more fit
-    assert int(vm.size()) == 6
+    assert int(vm.num_points()) == 6
     stored = np.asarray(vm.points_flat())[np.asarray(vm.valid_points_mask())]
     assert np.allclose(stored[:, :3], pts[:6], atol=1e-12)
 
@@ -367,7 +367,7 @@ def test_ivm_randomized_stream_matches_oracle():
         got = _ivm_points_by_voxel(vm)
         want = oracle.points_by_voxel()
         _match_voxel_contents(got, want, atol=1e-9)
-        assert int(vm.size()) == oracle.size()
+        assert int(vm.num_points()) == oracle.size()
 
 
 def test_gvm_randomized_stream_matches_oracle():
