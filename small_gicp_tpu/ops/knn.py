@@ -127,7 +127,13 @@ class KdTree:
     num_points: jax.Array  # scalar int32
 
     @staticmethod
-    def build(cloud: PointCloud) -> "KdTree":
+    def build(cloud, num_threads: int = 1) -> "KdTree":
+        """Accepts a PointCloud or a raw [N,3]/[N,4] array, matching the
+        reference constructor (kdtree.cpp:20-53). num_threads is parity
+        only — "build" is an O(1) store here (no tree)."""
+        del num_threads
+        if not isinstance(cloud, PointCloud):
+            cloud = PointCloud.from_points(np.asarray(cloud))
         return KdTree(points=cloud.points, num_points=cloud.num_points)
 
     def knn_search(self, query_xyz, k: int, block: int = DEFAULT_QUERY_BLOCK):
