@@ -59,7 +59,10 @@ def odometry_scan_step(
     covariance_mode: "knn" (default) reproduces the reference's kNN
     covariances; "voxel" uses fused 27-voxel neighborhood moments
     (ops/voxel_covs.py) — fewer FLOPs but gather-bound on current TPUs,
-    so "knn" is faster there.
+    so "knn" is faster there; "knn_window" uses the multi-shift
+    Morton-banded approximate self-kNN (ops/knn_window.py) — O(N·S·W)
+    instead of the O(N²) exact search, ≥97% neighbor recall with
+    covariances tested indistinguishable (tests/test_knn_window.py).
     """
     T_world, T_delta, vm, is_first = carry
     dtype = frame_points.dtype
@@ -78,7 +81,15 @@ def odometry_scan_step(
             jnp.asarray(downsampling_resolution, dtype),
             max_downsampled,
         )
-        _, covs = _estimate_impl(pts, n, num_neighbors, False, True)
+        _, covs = _estimate_impl(
+            pts, n, num_neighbors, False, True,
+            neighbor_mode=(
+                "window" if covariance_mode == "knn_window" else "exact"
+            ),
+            # the multi-shift union carries the recall; the downsampled
+            # point spacing is the natural quantization cell
+            window_cell=downsampling_resolution,
+        )
     cloud = PointCloud(points=pts, num_points=n, covs=covs)
 
     # Registration vs the map (solves the absolute pose, like the

@@ -34,23 +34,40 @@ _VALID_NEIGHBOR_SQ_DIST = 1e16
 _MIN_NEIGHBORS = 5
 
 
-@partial(jax.jit, static_argnames=("num_neighbors", "need_normals", "need_covs"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_neighbors", "need_normals", "need_covs", "neighbor_mode",
+    ),
+)
 def _estimate_impl(
     points: jax.Array,
     num_points: jax.Array,
     num_neighbors: int,
     need_normals: bool,
     need_covs: bool,
+    neighbor_mode: str = "exact",
+    window_cell: float = 0.25,
 ):
     n = points.shape[0]
     dtype = points.dtype
     xyz = points[:, :3]
 
-    # Route through the KdTree dispatcher so the Pallas-vs-XLA choice
-    # lives in exactly one place (ops/knn.py).
-    sq_dists, idx = KdTree(points=points, num_points=num_points).knn_search(
-        xyz, num_neighbors
-    )
+    if neighbor_mode == "window":
+        # O(N·W) Morton-banded self-search (ops/knn_window.py) — the
+        # odometry fast path; recall/covariance quality bounded in
+        # tests/test_knn_window.py.
+        from small_gicp_tpu.ops.knn_window import knn_windowed
+
+        sq_dists, idx = knn_windowed(
+            points, num_points, num_neighbors, cell=window_cell
+        )
+    else:
+        # Route through the KdTree dispatcher so the Pallas-vs-XLA
+        # choice lives in exactly one place (ops/knn.py).
+        sq_dists, idx = KdTree(
+            points=points, num_points=num_points
+        ).knn_search(xyz, num_neighbors)
     neighbor_valid = sq_dists < _VALID_NEIGHBOR_SQ_DIST  # [N,k]
     w = neighbor_valid.astype(dtype)
     counts = jnp.sum(w, axis=-1)  # [N]

@@ -1,0 +1,99 @@
+"""Morton-windowed self-kNN: recall vs the exact oracle, and the
+downstream covariance quality that odometry actually consumes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from small_gicp_tpu.point_cloud import PointCloud
+from small_gicp_tpu.ops.knn import brute_force_knn_numpy
+from small_gicp_tpu.ops.knn_window import knn_windowed, morton_codes
+
+
+def _lidar_like_scan(rng, n=4096, extent=40.0):
+    """Ground plane + walls + scatter, then 0.25 m voxel downsample-ish
+    jitter: spatially coherent like a real downsampled scan."""
+    ground = rng.uniform(-extent, extent, size=(n // 2, 3))
+    ground[:, 2] = rng.normal(scale=0.05, size=n // 2)
+    wall = rng.uniform(-extent, extent, size=(n // 2, 3))
+    wall[:, 0] = extent * np.sign(wall[:, 0])
+    pts = np.concatenate([ground, wall])[:n]
+    return pts + rng.normal(scale=0.02, size=pts.shape)
+
+
+def test_windowed_knn_recall_and_self_hit():
+    rng = np.random.default_rng(0)
+    pts = _lidar_like_scan(rng)
+    n = pts.shape[0]
+    cloud = PointCloud.from_points(pts)
+
+    k = 20
+    d_w, i_w = knn_windowed(cloud.points, cloud.num_points, k)
+    d_w, i_w = np.asarray(d_w), np.asarray(i_w)
+
+    d_ref, i_ref = brute_force_knn_numpy(pts[:, :3], pts[:, :3], k)
+
+    # every point finds itself at distance 0
+    assert np.allclose(d_w[:, 0], 0.0, atol=1e-12)
+    assert np.array_equal(i_w[:, 0], np.arange(n))
+    # ascending distances
+    assert np.all(np.diff(d_w, axis=1) >= -1e-12)
+    # set recall of the exact k-NN
+    recall = np.mean([
+        len(set(i_w[q]) & set(i_ref[q])) / k for q in range(n)
+    ])
+    assert recall > 0.97, recall
+    # found distances are true distances
+    q = rng.integers(0, n, size=200)
+    dd = pts[q][:, None, :] - pts[i_w[q]]
+    assert np.allclose(np.sum(dd * dd, axis=-1), d_w[q], atol=1e-9)
+
+
+def test_windowed_covariances_match_exact():
+    """The consumer contract: plane-regularized covariances from the
+    windowed neighborhoods must be ~indistinguishable from the exact
+    ones (normal_estimation.hpp:66-92 semantics via ops/normals)."""
+    from small_gicp_tpu.ops.normals import _estimate_impl
+
+    rng = np.random.default_rng(1)
+    pts = _lidar_like_scan(rng, n=2048)
+    cloud = PointCloud.from_points(pts)
+
+    _, cov_exact = _estimate_impl(cloud.points, cloud.num_points, 20,
+                                  False, True)
+    _, cov_win = _estimate_impl(cloud.points, cloud.num_points, 20,
+                                False, True, neighbor_mode="window")
+    ce, cw = np.asarray(cov_exact), np.asarray(cov_win)
+    frob = np.linalg.norm(ce - cw, axis=(1, 2))
+    scale = np.linalg.norm(ce, axis=(1, 2))
+    rel = frob / np.maximum(scale, 1e-12)
+    # regularization diag(1e-3,1,1) makes covariances robust to the
+    # recall tail: the bulk must match to high precision
+    assert np.median(rel) < 1e-6
+    assert np.mean(rel < 0.05) > 0.99, (np.mean(rel < 0.05), rel.max())
+
+
+def test_windowed_knn_handles_padding_and_small_clouds():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, size=(7, 3))
+    cloud = PointCloud.from_points(pts).with_capacity(64)  # heavy padding
+    d, i = knn_windowed(cloud.points, cloud.num_points, 10, window=16)
+    d, i = np.asarray(d), np.asarray(i)
+    # 7 real neighbors exist; slots beyond must be inf (invalid marker)
+    assert np.all(np.isfinite(d[:7, :7]))
+    assert np.all(~np.isfinite(d[:7, 7:]))
+    assert np.all(~np.isfinite(d[7:]))  # padded queries: all invalid
+    d_ref, i_ref = brute_force_knn_numpy(pts, pts, 7)
+    np.testing.assert_allclose(d[:7, :7], d_ref, atol=1e-12)
+
+
+def test_morton_codes_orders_locality():
+    # adjacent cells differ less in code than far cells, statistically:
+    # the median |code delta| of 1-cell moves must be far below random.
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-10, 10, size=(512, 3))
+    c0 = np.asarray(morton_codes(jnp.asarray(base), 0.25), dtype=np.float64)
+    c1 = np.asarray(
+        morton_codes(jnp.asarray(base + [0.25, 0, 0]), 0.25), np.float64
+    )
+    rand = np.abs(np.diff(np.sort(rng.permutation(c0))))
+    assert np.median(np.abs(c1 - c0)) < np.median(np.abs(c0 - rng.permutation(c0)))

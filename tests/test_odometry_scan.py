@@ -111,3 +111,15 @@ def test_synthetic_loop_tracking_with_offsets7():
     poses = odo.feed(scans)
     err = np.linalg.norm(poses[:, :3, 3] - gt_rel[:, :3, 3], axis=1)
     assert err.max() < 0.05, err
+
+
+def test_jit_odometry_knn_window_mode_tracks():
+    """The O(N·S·W) windowed-covariance fast path must track the same
+    trajectory as the exact-kNN mode (pose differences far below the
+    tracking tolerance)."""
+    frames = _frames()
+    exact = JitOdometry(PARAMS, covariance_mode="knn").feed(frames)
+    win = JitOdometry(PARAMS, covariance_mode="knn_window").feed(frames)
+    assert abs(win[-1, 0, 3] - 0.6) < 0.05
+    # same trajectory to sub-mm: the covariances are interchangeable
+    assert np.max(np.abs(win - exact)) < 2e-3, np.max(np.abs(win - exact))
