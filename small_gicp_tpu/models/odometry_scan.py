@@ -261,6 +261,58 @@ def odometry_scan(
     return jax.lax.scan(step, carry, (frames, counts))
 
 
+def make_initial_carry(params: OdometryParams, engine: str):
+    """(carry, registration_type) for an odometry loop of `engine`.
+
+    carry = (T_world, T_delta, model, is_first); the model pytree type
+    (IncrementalVoxelMap / GaussianVoxelMap / PointCloud) selects the
+    engine behavior inside the jitted step. registration_type is None
+    for the model engines (always GICP) and the factor name for
+    scan-to-scan engines.
+    """
+    p = params
+    dtype = jnp.dtype(p.dtype)
+    rtype = None
+    if engine == "gicp_model":
+        vm = IncrementalVoxelMap.empty(
+            p.voxel_resolution,
+            capacity=p.map_capacity,
+            dtype=dtype,
+            has_covs=True,
+            num_offsets=p.num_offsets,
+            voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
+        )
+    elif engine == "vgicp_model":
+        vm = GaussianVoxelMap.empty(
+            p.voxel_resolution, capacity=p.map_capacity, dtype=dtype,
+            num_offsets=p.num_offsets,
+        )
+    elif engine in ("gicp_scan", "plane_icp_scan", "icp_scan"):
+        # Scan-to-scan: the "map" is the previous frame, carried as a
+        # fixed-capacity cloud (empty on the first frame).
+        rtype = engine[: -len("_scan")]
+        pad = jnp.asarray(
+            [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype
+        )
+        vm = PointCloud(
+            points=jnp.broadcast_to(pad, (p.max_downsampled, 4)).copy(),
+            num_points=jnp.asarray(0, jnp.int32),
+            normals=(jnp.zeros((p.max_downsampled, 4), dtype)
+                     if rtype == "plane_icp" else None),
+            covs=(jnp.zeros((p.max_downsampled, 3, 3), dtype)
+                  if rtype == "gicp" else None),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    carry = (
+        jnp.eye(4, dtype=dtype),
+        jnp.eye(4, dtype=dtype),
+        vm,
+        jnp.asarray(True),
+    )
+    return carry, rtype
+
+
 class JitOdometry:
     """Chunked driver around odometry_scan: feed [F,N,3] numpy frame
     blocks, collect poses; device state persists across chunks.
@@ -278,47 +330,10 @@ class JitOdometry:
         self.covariance_mode = covariance_mode
         self.chunk_times_ms: list = []  # wall ms per chunk (first includes compile)
         self.params = params or OdometryParams()
-        p = self.params
-        dtype = jnp.dtype(p.dtype)
-        if engine == "gicp_model":
-            vm = IncrementalVoxelMap.empty(
-                p.voxel_resolution,
-                capacity=p.map_capacity,
-                dtype=dtype,
-                has_covs=True,
-                num_offsets=p.num_offsets,
-                voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
-            )
-        elif engine == "vgicp_model":
-            vm = GaussianVoxelMap.empty(
-                p.voxel_resolution, capacity=p.map_capacity, dtype=dtype,
-                num_offsets=p.num_offsets,
-            )
-        elif engine in ("gicp_scan", "plane_icp_scan", "icp_scan"):
-            # Scan-to-scan: the "map" is the previous frame, carried as a
-            # fixed-capacity cloud (empty on the first frame).
-            rtype = engine[: -len("_scan")]
-            pad = jnp.asarray(
-                [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype
-            )
-            vm = PointCloud(
-                points=jnp.broadcast_to(pad, (p.max_downsampled, 4)).copy(),
-                num_points=jnp.asarray(0, jnp.int32),
-                normals=(jnp.zeros((p.max_downsampled, 4), dtype)
-                         if rtype == "plane_icp" else None),
-                covs=(jnp.zeros((p.max_downsampled, 3, 3), dtype)
-                      if rtype == "gicp" else None),
-            )
-            self.registration_type = rtype
-        else:
-            raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
-        self.carry = (
-            jnp.eye(4, dtype=dtype),
-            jnp.eye(4, dtype=dtype),
-            vm,
-            jnp.asarray(True),
-        )
+        self.carry, rtype = make_initial_carry(self.params, engine)
+        if rtype is not None:
+            self.registration_type = rtype
         self.poses = []
 
     def _stack_frames(self, frames, n_slots: int):
@@ -425,3 +440,152 @@ class JitOdometry:
                  else np.zeros((0, 4, 4), self.params.dtype))
         self.poses.extend(poses)
         return poses
+
+
+# ======================================================================
+# Batch-parallel odometry: B independent sequences in ONE program
+# ======================================================================
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_downsampled", "num_neighbors", "covariance_mode",
+        "predict_motion", "registration_type",
+    ),
+)
+def odometry_scan_batch(
+    carries,
+    frames: jax.Array,  # [B,F,N,4]
+    counts: jax.Array,  # [B,F]
+    downsampling_resolution: float = 0.25,
+    max_correspondence_distance: float = 1.0,
+    max_downsampled: int = 8192,
+    num_neighbors: int = 20,
+    covariance_mode: str = "knn",
+    predict_motion: bool = False,
+    registration_type: Optional[str] = None,
+):
+    """B independent odometry loops, vmapped into one program.
+
+    No reference counterpart (the CPU library runs one sequence at a
+    time): batch-parallel odometry is the TPU-native throughput shape —
+    a fleet of sequences mapped simultaneously, with the lane axis
+    shardable over a device mesh (see BatchOdometry(mesh=...)). Each
+    lane carries its own map; lanes never interact, so sharding the
+    batch axis moves zero bytes between chips during the loop.
+
+    carries: lane-stacked pytree from make_initial_carry (leading dim B).
+    registration_type: None for model engines; factor name for
+    scan-to-scan lanes.
+    Returns (carries, poses [B,F,4,4]).
+    """
+
+    if registration_type is None:
+        def run(c, f, n):
+            return odometry_scan(
+                c, f, n,
+                downsampling_resolution=downsampling_resolution,
+                max_correspondence_distance=max_correspondence_distance,
+                max_downsampled=max_downsampled,
+                num_neighbors=num_neighbors,
+                covariance_mode=covariance_mode,
+                predict_motion=predict_motion,
+            )
+    else:
+        def run(c, f, n):
+            return odometry_scan_s2s(
+                c, f, n,
+                downsampling_resolution=downsampling_resolution,
+                max_correspondence_distance=max_correspondence_distance,
+                max_downsampled=max_downsampled,
+                num_neighbors=num_neighbors,
+                registration_type=registration_type,
+                predict_motion=predict_motion,
+            )
+
+    return jax.vmap(run)(carries, frames, counts)
+
+
+class BatchOdometry:
+    """Fleet odometry: B sequences tracked simultaneously in one jitted
+    program, each lane with its own model map.
+
+    With `mesh`, the lane axis is sharded over the devices (pure data
+    parallelism — zero inter-chip traffic during the loop); without it,
+    all lanes run on the default device. Lane results are bit-identical
+    to running each sequence through JitOdometry alone (tested).
+    """
+
+    def __init__(self, num_lanes: int,
+                 params: Optional[OdometryParams] = None,
+                 engine: str = "gicp_model",
+                 covariance_mode: str = "knn",
+                 mesh=None, axis_name: str = "data"):
+        self.params = params or OdometryParams()
+        self.engine = engine
+        self.covariance_mode = covariance_mode
+        self.num_lanes = num_lanes
+        carry0, self.registration_type = make_initial_carry(
+            self.params, engine
+        )
+        carries = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                x, (num_lanes,) + jnp.shape(x)
+            ).copy(),
+            carry0,
+        )
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard(x):
+                spec = P(axis_name, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            carries = jax.tree_util.tree_map(shard, carries)
+            self._sharding = lambda x: jax.device_put(
+                x,
+                NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))),
+            )
+        self.carries = carries
+
+    def feed(self, sequences) -> np.ndarray:
+        """sequences: length-B list of lists of [N,3] scans (sequences
+        may have different lengths — shorter lanes pad with empty
+        no-op frames). Returns [B, F_max, 4, 4] poses; a padded tail
+        repeats the lane's last real pose."""
+        p = self.params
+        if len(sequences) != self.num_lanes:
+            raise ValueError(
+                f"expected {self.num_lanes} sequences, got {len(sequences)}"
+            )
+        f_max = max(len(s) for s in sequences)
+        frames = np.full(
+            (self.num_lanes, f_max, p.max_scan_points, 4), PAD_SENTINEL,
+            p.dtype,
+        )
+        frames[:, :, :, 3] = 0.0
+        counts = np.zeros((self.num_lanes, f_max), np.int32)
+        for b, seq in enumerate(sequences):
+            for i, f in enumerate(seq):
+                f = np.asarray(f, dtype=p.dtype)[: p.max_scan_points]
+                frames[b, i, : len(f), :3] = f
+                frames[b, i, : len(f), 3] = 1.0
+                counts[b, i] = len(f)
+        frames = jnp.asarray(frames)
+        counts = jnp.asarray(counts)
+        if self._sharding is not None:
+            frames = self._sharding(frames)
+            counts = self._sharding(counts)
+        self.carries, poses = odometry_scan_batch(
+            self.carries, frames, counts,
+            downsampling_resolution=p.downsampling_resolution,
+            max_correspondence_distance=p.max_correspondence_distance,
+            max_downsampled=p.max_downsampled,
+            num_neighbors=p.num_neighbors,
+            covariance_mode=self.covariance_mode,
+            predict_motion=p.predict_motion,
+            registration_type=self.registration_type,
+        )
+        return np.asarray(poses)

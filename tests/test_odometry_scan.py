@@ -123,3 +123,37 @@ def test_jit_odometry_knn_window_mode_tracks():
     assert abs(win[-1, 0, 3] - 0.6) < 0.05
     # same trajectory to sub-mm: the covariances are interchangeable
     assert np.max(np.abs(win - exact)) < 2e-3, np.max(np.abs(win - exact))
+
+
+def test_batch_odometry_matches_individual_lanes():
+    """B sequences in one vmapped program == each sequence alone
+    (exact: lanes never interact)."""
+    from small_gicp_tpu.models.odometry_scan import BatchOdometry
+
+    seq_a = _frames(4, step=0.15, seed=3)
+    seq_b = _frames(4, step=0.10, seed=7)
+    seq_c = _frames(2, step=0.20, seed=11)  # shorter lane → padded tail
+
+    batch = BatchOdometry(3, PARAMS)
+    poses = batch.feed([seq_a, seq_b, seq_c])
+    assert poses.shape == (3, 4, 4, 4)
+
+    for lane, seq in ((0, seq_a), (1, seq_b), (2, seq_c)):
+        solo = JitOdometry(PARAMS, chunk_frames=4).feed(seq)
+        np.testing.assert_allclose(
+            poses[lane, : len(seq)], solo, rtol=1e-5, atol=1e-6,
+            err_msg=f"lane {lane}",
+        )
+    # padded tail of the short lane repeats its last real pose
+    np.testing.assert_allclose(poses[2, 2:], poses[2, 1:2].repeat(2, 0))
+
+
+def test_batch_odometry_scan_to_scan():
+    from small_gicp_tpu.models.odometry_scan import BatchOdometry
+
+    seq = _frames(3)
+    batch = BatchOdometry(2, PARAMS, engine="gicp_scan")
+    poses = batch.feed([seq, seq])
+    np.testing.assert_allclose(poses[0], poses[1], atol=1e-12)
+    solo = JitOdometry(PARAMS, engine="gicp_scan", chunk_frames=3).feed(seq)
+    np.testing.assert_allclose(poses[0], solo, rtol=1e-5, atol=1e-6)

@@ -104,3 +104,27 @@ def test_batch_throughput_engines_smoke(rng):
             registration_type="gicp",
         )
         assert int(single.iterations) == int(iters[i])
+
+
+def test_batch_odometry_sharded_matches_unsharded(rng):
+    """Fleet odometry with the lane axis sharded over the 8-device mesh
+    == the same lanes unsharded (pure data parallelism)."""
+    from small_gicp_tpu.models.odometry import OdometryParams
+    from small_gicp_tpu.models.odometry_scan import BatchOdometry
+
+    params = OdometryParams(
+        max_scan_points=1024, max_downsampled=1024, map_capacity=2048,
+        downsampling_resolution=0.4,
+    )
+    base = rng.uniform(-6, 6, size=(900, 3)).astype(np.float32)
+    base[:, 2] = 0.3 * np.sin(base[:, 0]) + 0.2 * np.cos(base[:, 1])
+    n_lanes = jax.device_count()
+    seqs = [
+        [base - [0.08 * f * (1 + 0.1 * b), 0, 0] for f in range(3)]
+        for b in range(n_lanes)
+    ]
+
+    mesh = make_mesh()
+    poses_sh = BatchOdometry(n_lanes, params, mesh=mesh).feed(seqs)
+    poses = BatchOdometry(n_lanes, params).feed(seqs)
+    np.testing.assert_allclose(poses_sh, poses, rtol=1e-5, atol=1e-6)
