@@ -36,6 +36,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from small_gicp_tpu.utils.lie import skew
@@ -252,30 +253,56 @@ class _FactorBase:
         mask [N]) for every source point in one pass (the TPU shape of
         the reference's per-factor loop). With `source_index` it
         reproduces the reference binding exactly (factors.cpp:53-103):
-        returns (success, H 6x6, b 6, e) for that single point.
+        returns (success, H 6x6, b 6, e) for that single point, at
+        O(M) cost (only that point is searched/linearized).
         `rejector` (DistanceRejector) overrides max_dist_sq.
         """
         from small_gicp_tpu.models.registration import _search_correspondences
 
+        if source_index is not None and not isinstance(
+            source_index, (int, np.integer)
+        ):
+            # Guards the positional-argument hazard: this slot used to
+            # be max_dist_sq, so a legacy call like linearize(..., 0.25)
+            # must fail loudly instead of binding a float as an index.
+            raise TypeError(
+                f"source_index must be an int, got {type(source_index).__name__}"
+            )
         if rejector is not None:
             max_dist_sq = rejector.max_dist_sq
         T = jnp.asarray(T, source.points.dtype)
+
+        src_points = source.points
+        src_covs = source.covs if self.factor_type == GICP else None
+        src_n = source.num_points
+        if source_index is not None:
+            i = int(source_index)
+            if not 0 <= i < int(source.num_points):
+                raise IndexError(
+                    f"source_index {i} out of range [0, {int(source.num_points)})"
+                )
+            # Single-point slice: the per-point search/linearize is
+            # independent, so the reference's one-index call costs O(M)
+            # here too, not a full batched pass.
+            src_points = src_points[i:i + 1]
+            src_covs = None if src_covs is None else src_covs[i:i + 1]
+            src_n = jnp.asarray(1, jnp.int32)
+
         corr = _search_correspondences(
             self.factor_type,
             target,
             target_tree,
-            source.points,
-            source.num_points,
-            source.covs if self.factor_type == GICP else None,
+            src_points,
+            src_n,
+            src_covs,
             T,
             jnp.asarray(max_dist_sq, source.points.dtype),
         )
         H_i, b_i, e_i = linearize_per_point(
-            corr, T, source.points, self.robust_kernel, self.robust_c
+            corr, T, src_points, self.robust_kernel, self.robust_c
         )
         if source_index is not None:
-            i = int(source_index)
-            return bool(corr.mask[i]), H_i[i], b_i[i], float(e_i[i])
+            return bool(corr.mask[0]), H_i[0], b_i[0], float(e_i[0])
         return H_i, b_i, e_i, corr.mask
 
 

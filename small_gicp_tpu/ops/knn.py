@@ -133,7 +133,9 @@ class KdTree:
         only — "build" is an O(1) store here (no tree)."""
         del num_threads
         if not isinstance(cloud, PointCloud):
-            cloud = PointCloud.from_points(np.asarray(cloud))
+            # from_points handles numpy AND device-resident jax arrays;
+            # no host round trip for the latter.
+            cloud = PointCloud.from_points(cloud)
         return KdTree(points=cloud.points, num_points=cloud.num_points)
 
     def knn_search(self, query_xyz, k: int, block: int = DEFAULT_QUERY_BLOCK):

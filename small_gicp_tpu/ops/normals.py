@@ -62,6 +62,10 @@ def _estimate_impl(
         sq_dists, idx = knn_windowed(
             points, num_points, num_neighbors, cell=window_cell
         )
+    elif neighbor_mode != "exact":
+        raise ValueError(
+            f"unknown neighbor_mode {neighbor_mode!r}; have 'exact', 'window'"
+        )
     else:
         # Route through the KdTree dispatcher so the Pallas-vs-XLA
         # choice lives in exactly one place (ops/knn.py).

@@ -172,18 +172,28 @@ class PointCloud:
     def empty(self) -> bool:
         return int(self.num_points) == 0
 
+    def _check_index(self, i: int) -> int:
+        # Explicit bounds check: jax gathers clamp out-of-range indices
+        # silently, and rows in [num_points, capacity) are sentinel
+        # padding — both must raise like the reference bindings do.
+        n = int(self.num_points)
+        i = int(i)
+        if not 0 <= i < n:
+            raise IndexError(f"index {i} out of range [0, {n})")
+        return i
+
     def point(self, i: int) -> np.ndarray:
         """i-th point as a homogeneous 4-vector (numpy)."""
-        return np.asarray(self.points[i])
+        return np.asarray(self.points[self._check_index(i)])
 
     def normal(self, i: int) -> np.ndarray:
         """i-th normal as a 4-vector (numpy)."""
-        return np.asarray(self.normals[i])
+        return np.asarray(self.normals[self._check_index(i)])
 
     def cov(self, i: int) -> np.ndarray:
         """i-th covariance as 3x3 (numpy; the reference stores 4x4
         zero-padded for SIMD — padding is a CPU artifact, not carried)."""
-        return np.asarray(self.covs[i])
+        return np.asarray(self.covs[self._check_index(i)])
 
 
 def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:

@@ -85,3 +85,16 @@ def test_factor_single_index_linearize_matches_batched(small_pair):
         np.testing.assert_allclose(np.asarray(H), np.asarray(H_i[i]))
         np.testing.assert_allclose(np.asarray(b), np.asarray(b_i[i]))
         assert np.isclose(e, float(e_i[i]))
+
+
+def test_factor_single_index_guards(small_pair):
+    from small_gicp_tpu.models.factors import GICPFactor
+
+    target, tree, source = small_pair
+    f = GICPFactor()
+    # legacy positional max_dist_sq must fail loudly, not bind as index
+    with pytest.raises(TypeError):
+        f.linearize(target, source, tree, np.eye(4), 0.25)
+    with pytest.raises(IndexError):
+        f.linearize(target, source, tree, np.eye(4),
+                    source_index=int(source.num_points))

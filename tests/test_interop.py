@@ -152,3 +152,20 @@ def test_binding_parity_accessors(rng):
     assert len(gvm) == n_vox
     assert gvm.voxel_points().shape == (n_vox, 4)
     assert gvm.voxel_covs().shape == (n_vox, 3, 3)
+
+
+def test_accessor_bounds_checks(rng):
+    """jax gathers clamp out-of-range indices silently; the binding
+    accessors must raise instead (reference bindings raise IndexError),
+    including for padded rows in [num_points, capacity)."""
+    from small_gicp_tpu import PointCloud
+
+    pts = rng.uniform(-1, 1, size=(10, 3))
+    pc = PointCloud.from_points(pts, capacity=32)
+    with np.testing.assert_raises(IndexError):
+        pc.point(10)  # padded row
+    with np.testing.assert_raises(IndexError):
+        pc.point(500)  # beyond capacity (would clamp)
+    with np.testing.assert_raises(IndexError):
+        pc.point(-1)
+    assert np.allclose(pc.point(9)[:3], pts[9])
