@@ -43,7 +43,8 @@ def main(argv=None):
     ap.add_argument("--frame-dist", type=float, default=1.2)
     ap.add_argument(
         "--engines", default="gicp_model,vgicp_model,gicp_scan",
-        help="comma list of JitOdometry engines",
+        help="comma list of JitOdometry engines (also: vgicp_model_fused, "
+             "plane_icp_scan, icp_scan)",
     )
     ap.add_argument("--rpe-delta", type=int, default=100)
     ap.add_argument("--downsample", type=float, default=0.25)
@@ -95,7 +96,7 @@ def main(argv=None):
             num_offsets=args.offsets,
         )
         # vgicp map capacity counts voxels, not points
-        if engine == "vgicp_model":
+        if engine.startswith("vgicp_model"):
             params.map_capacity = max(args.map_capacity // 4, 65536)
         poses, ms = run_engine(
             engine, frames_dev, counts_dev, args.frames, params,

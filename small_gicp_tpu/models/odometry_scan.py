@@ -35,7 +35,8 @@ from small_gicp_tpu.models.odometry import OdometryParams
 @partial(
     jax.jit,
     static_argnames=(
-        "max_downsampled", "num_neighbors", "covariance_mode", "predict_motion"
+        "max_downsampled", "num_neighbors", "covariance_mode",
+        "predict_motion", "model_nn",
     ),
 )
 def odometry_scan_step(
@@ -48,6 +49,7 @@ def odometry_scan_step(
     num_neighbors: int = 20,
     covariance_mode: str = "knn",
     predict_motion: bool = False,
+    model_nn: str = "voxel",
 ):
     """One odometry step; carry = (T_world [4,4], T_delta [4,4],
     voxelmap, is_first). T_delta is the last frame-to-frame motion; with
@@ -102,14 +104,37 @@ def odometry_scan_step(
     # every correspondence is masked out, H=0, all lambda trials accept a
     # zero delta, and the selected pose below falls back to T_world.
     guess = T_world @ T_delta if predict_motion else T_world
-    result = align_impl(
-        vm,
-        cloud,
-        None,
-        guess,
-        registration_type="gicp",
-        max_dist_sq=max_correspondence_distance**2,
-    )
+    if model_nn == "bruteforce":
+        # TPU-native VGICP variant: correspondence = nearest voxel MEAN
+        # over the whole map (exact, MXU brute force / the 2-kernel
+        # fused Pallas path) instead of the reference's voxel-key
+        # lookup. Semantically a superset of the key lookup with
+        # offsets=27 (never misses a voxel the key search would find
+        # within max_correspondence_distance) — trajectories are
+        # equivalence-tested against the "voxel" mode. GVM targets only:
+        # the slot table's means+covs is exactly the fused kernel's
+        # target layout, with dead slots sentinel-masked by distance.
+        if not isinstance(vm, GaussianVoxelMap):
+            raise ValueError("model_nn='bruteforce' needs a GaussianVoxelMap")
+        from small_gicp_tpu.models.voxelmap import voxelmap_as_cloud
+
+        result = align_impl(
+            voxelmap_as_cloud(vm),
+            cloud,
+            None,
+            guess,
+            registration_type="gicp",
+            max_dist_sq=max_correspondence_distance**2,
+        )
+    else:
+        result = align_impl(
+            vm,
+            cloud,
+            None,
+            guess,
+            registration_type="gicp",
+            max_dist_sq=max_correspondence_distance**2,
+        )
     real = frame_count > 0
     T_new = jnp.where(is_first | ~real, T_world, result.T_target_source)
     delta_new = jnp.where(
@@ -230,7 +255,8 @@ def odometry_scan_s2s(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_downsampled", "num_neighbors", "covariance_mode", "predict_motion"
+        "max_downsampled", "num_neighbors", "covariance_mode",
+        "predict_motion", "model_nn",
     ),
 )
 def odometry_scan(
@@ -243,6 +269,7 @@ def odometry_scan(
     num_neighbors: int = 20,
     covariance_mode: str = "knn",
     predict_motion: bool = False,
+    model_nn: str = "voxel",
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -261,6 +288,7 @@ def odometry_scan(
             num_neighbors=num_neighbors,
             covariance_mode=covariance_mode,
             predict_motion=predict_motion,
+            model_nn=model_nn,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -304,7 +332,10 @@ def make_initial_carry(params: OdometryParams, engine: str):
             num_offsets=p.num_offsets,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
-    elif engine == "vgicp_model":
+    elif engine in ("vgicp_model", "vgicp_model_fused"):
+        # "_fused": same GVM model, but correspondence = nearest voxel
+        # mean via MXU brute force / the fused Pallas kernels
+        # (odometry_scan_step model_nn="bruteforce").
         vm = GaussianVoxelMap.empty(
             p.voxel_resolution, capacity=p.map_capacity, dtype=dtype,
             num_offsets=p.num_offsets,
@@ -389,6 +420,8 @@ class JitOdometry:
             num_neighbors=p.num_neighbors,
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
+            model_nn=("bruteforce" if self.engine == "vgicp_model_fused"
+                      else "voxel"),
         )
         return poses
 
@@ -463,7 +496,7 @@ class JitOdometry:
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "registration_type",
+        "predict_motion", "registration_type", "model_nn",
     ),
 )
 def odometry_scan_batch(
@@ -477,6 +510,7 @@ def odometry_scan_batch(
     covariance_mode: str = "knn",
     predict_motion: bool = False,
     registration_type: Optional[str] = None,
+    model_nn: str = "voxel",
 ):
     """B independent odometry loops, vmapped into one program.
 
@@ -503,6 +537,7 @@ def odometry_scan_batch(
                 num_neighbors=num_neighbors,
                 covariance_mode=covariance_mode,
                 predict_motion=predict_motion,
+                model_nn=model_nn,
             )
     else:
         def run(c, f, n):
@@ -599,5 +634,7 @@ class BatchOdometry:
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
             registration_type=self.registration_type,
+            model_nn=("bruteforce" if self.engine == "vgicp_model_fused"
+                      else "voxel"),
         )
         return np.asarray(poses)

@@ -157,3 +157,16 @@ def test_batch_odometry_scan_to_scan():
     np.testing.assert_allclose(poses[0], poses[1], atol=1e-12)
     solo = JitOdometry(PARAMS, engine="gicp_scan", chunk_frames=3).feed(seq)
     np.testing.assert_allclose(poses[0], solo, rtol=1e-5, atol=1e-6)
+
+
+def test_vgicp_fused_engine_tracks_like_vgicp():
+    """vgicp_model_fused (nearest-voxel-mean correspondences on the
+    brute-force/fused path) must track the same trajectory class as the
+    reference-semantics vgicp_model (voxel-key lookup)."""
+    frames = _frames()
+    ref = JitOdometry(PARAMS, engine="vgicp_model").feed(frames)
+    fus = JitOdometry(PARAMS, engine="vgicp_model_fused").feed(frames)
+    assert abs(fus[-1, 0, 3] - 0.6) < 0.05, fus[-1, 0, 3]
+    # nearest-mean is a superset of key lookup: same trajectory within
+    # the registration noise floor
+    assert np.max(np.abs(fus - ref)) < 5e-3, np.max(np.abs(fus - ref))
