@@ -34,7 +34,37 @@ REFERENCE_SINGLE_THREAD_REG_PER_SEC = 61.21  # measured; see module docstring
 DATA = "/root/reference/data"
 
 
+def _arm_backend_watchdog(seconds: float = 240.0):
+    """The tunneled TPU backend hangs jax.devices() indefinitely when
+    the tunnel is down (observed multi-hour outages). Rather than hang
+    the driver, exit with a diagnostic after `seconds` unless the
+    backend came up. Returns a cancel() callable."""
+    import threading
+
+    ok = threading.Event()
+
+    def watch():
+        if not ok.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": "gicp_registrations_per_sec_single_chip",
+                        "value": None,
+                        "unit": "registrations/s (bundled pair, 0.25m downsample)",
+                        "vs_baseline": None,
+                        "error": f"TPU backend did not initialize within {seconds:.0f}s (tunnel down?)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return ok.set
+
+
 def main():
+    cancel_watchdog = _arm_backend_watchdog()
     import jax
 
     # int64 voxel keys need x64 enabled (the TPU backend handles s64;
@@ -45,6 +75,9 @@ def main():
 
     import small_gicp_tpu as sgt
     from small_gicp_tpu.models.registration import align_impl
+
+    jax.devices()  # force backend init while the watchdog is armed
+    cancel_watchdog()
 
     dtype = np.float32
     target_raw = sgt.read_ply(os.path.join(DATA, "target.ply")).astype(dtype)
