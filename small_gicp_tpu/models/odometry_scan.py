@@ -588,6 +588,13 @@ class BatchOdometry:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if num_lanes % n_dev != 0:
+                raise ValueError(
+                    f"num_lanes={num_lanes} must be a multiple of the "
+                    f"mesh size {n_dev} to shard the lane axis evenly"
+                )
+
             def shard(x):
                 spec = P(axis_name, *([None] * (x.ndim - 1)))
                 return jax.device_put(x, NamedSharding(mesh, spec))

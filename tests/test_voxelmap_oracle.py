@@ -428,35 +428,36 @@ def test_gvm_insert_f32_far_from_origin_is_accurate():
     cm-level rounding into every voxel mean (verified: median 1.7 cm,
     max 9.4 cm on an 8k scan before the f64-prefix fix)."""
     rng = np.random.default_rng(3)
-    pts = rng.uniform(60.0, 160.0, size=(4096, 3))
-    a = rng.normal(size=(4096, 3, 3)).astype(np.float64)
+    n = 1536  # compact but decisive: the pre-fix cumsum error was cm-level
+    pts = rng.uniform(60.0, 160.0, size=(n, 3))
+    a = rng.normal(size=(n, 3, 3)).astype(np.float64)
     covs = a @ np.swapaxes(a, 1, 2) * 1e-2 + np.eye(3) * 1e-3
 
     cloud32 = PointCloud.from_points(pts.astype(np.float32)).replace(
         covs=jnp.asarray(covs, jnp.float32)
     )
-    vm32 = GaussianVoxelMap.empty(1.0, capacity=4096, dtype=jnp.float32)
+    vm32 = GaussianVoxelMap.empty(1.0, capacity=n, dtype=jnp.float32)
     vm32 = vm32.insert(cloud32)
 
     # f64 oracle of the same insert
     cloud64 = PointCloud.from_points(pts).replace(covs=jnp.asarray(covs))
-    vm64 = GaussianVoxelMap.empty(1.0, capacity=4096, dtype=jnp.float64)
+    vm64 = GaussianVoxelMap.empty(1.0, capacity=n, dtype=jnp.float64)
     vm64 = vm64.insert(cloud64)
 
     assert int(vm32.num_voxels) == int(vm64.num_voxels)
-    # match voxels by key (slot order may differ)
+    # match voxels by key, vectorized (slot order may differ)
     k32 = np.asarray(vm32.vox_keys)
     k64 = np.asarray(vm64.vox_keys)
-    occ32 = k32 != np.iinfo(np.int64).max
-    m32 = {int(k): np.asarray(vm32.means)[i, :3] for i, k in enumerate(k32) if occ32[i]}
-    c32 = {int(k): np.asarray(vm32.covs)[i] for i, k in enumerate(k32) if occ32[i]}
-    errs = []
-    for i, k in enumerate(k64):
-        if k == np.iinfo(np.int64).max:
-            continue
-        mu64 = np.asarray(vm64.means)[i, :3]
-        errs.append(np.linalg.norm(m32[int(k)] - mu64))
-        assert np.allclose(c32[int(k)], np.asarray(vm64.covs)[i], atol=1e-3)
-    errs = np.asarray(errs)
+    live32 = np.where(k32 != np.iinfo(np.int64).max)[0]
+    live64 = np.where(k64 != np.iinfo(np.int64).max)[0]
+    o32 = live32[np.argsort(k32[live32])]
+    o64 = live64[np.argsort(k64[live64])]
+    np.testing.assert_array_equal(k32[o32], k64[o64])
+    mu32 = np.asarray(vm32.means)[o32, :3]
+    mu64 = np.asarray(vm64.means)[o64, :3]
+    errs = np.linalg.norm(mu32 - mu64, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(vm32.covs)[o32], np.asarray(vm64.covs)[o64], atol=1e-3
+    )
     # f32 storage alone bounds the error near 1e-5 at 160 m coordinates.
     assert errs.max() < 1e-4, (errs.max(), np.median(errs))
