@@ -89,7 +89,7 @@ def main(argv=None):
         params = OdometryParams(
             max_scan_points=int(frames_dev.shape[1]),
             max_downsampled=args.max_downsampled,
-            map_capacity=(args.map_capacity if engine.endswith("_model")
+            map_capacity=(args.map_capacity if "_model" in engine
                           else args.max_downsampled),
             downsampling_resolution=args.downsample,
             predict_motion=args.predict_motion,

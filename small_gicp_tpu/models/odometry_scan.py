@@ -105,21 +105,38 @@ def odometry_scan_step(
     # zero delta, and the selected pose below falls back to T_world.
     guess = T_world @ T_delta if predict_motion else T_world
     if model_nn == "bruteforce":
-        # TPU-native VGICP variant: correspondence = nearest voxel MEAN
-        # over the whole map (exact, MXU brute force / the 2-kernel
-        # fused Pallas path) instead of the reference's voxel-key
-        # lookup. Semantically a superset of the key lookup with
-        # offsets=27 (never misses a voxel the key search would find
-        # within max_correspondence_distance) — trajectories are
-        # equivalence-tested against the "voxel" mode. GVM targets only:
-        # the slot table's means+covs is exactly the fused kernel's
-        # target layout, with dead slots sentinel-masked by distance.
-        if not isinstance(vm, GaussianVoxelMap):
-            raise ValueError("model_nn='bruteforce' needs a GaussianVoxelMap")
+        # TPU-native model variant: correspondence = exact nearest
+        # stored element (voxel mean for GVM, stored point for IVM)
+        # over the WHOLE map, as MXU brute force / the 2-kernel fused
+        # Pallas path — instead of the reference's voxel-key candidate
+        # lookup. Semantically a superset of the key lookup (never
+        # misses a candidate the key search would find within
+        # max_correspondence_distance); trajectories are
+        # equivalence-tested against the "voxel" mode. The slot tables
+        # are exactly the fused kernel's target layout; dead/stale
+        # slots carry sentinel coords, so the distance rejector masks
+        # them on every path.
         from small_gicp_tpu.models.voxelmap import voxelmap_as_cloud
 
+        if isinstance(vm, GaussianVoxelMap):
+            target_cloud = voxelmap_as_cloud(vm)
+        elif isinstance(vm, IncrementalVoxelMap) and vm.has_covs:
+            pad = jnp.asarray(
+                [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype
+            )
+            live = vm.valid_points_mask()
+            target_cloud = PointCloud(
+                points=jnp.where(live[:, None], vm.points_flat(), pad),
+                num_points=vm.num_points_stored,
+                covs=vm.covs_flat(),  # dead rows never win the NN
+            )
+        else:
+            raise ValueError(
+                "model_nn='bruteforce' needs a GaussianVoxelMap or an "
+                "IncrementalVoxelMap with covariances"
+            )
         result = align_impl(
-            voxelmap_as_cloud(vm),
+            target_cloud,
             cloud,
             None,
             guess,
@@ -323,7 +340,10 @@ def make_initial_carry(params: OdometryParams, engine: str):
     p = params
     dtype = jnp.dtype(p.dtype)
     rtype = None
-    if engine == "gicp_model":
+    if engine in ("gicp_model", "gicp_model_fused"):
+        # "_fused": same IVM model, correspondence = exact nearest
+        # stored point on the brute-force/fused path
+        # (odometry_scan_step model_nn="bruteforce").
         vm = IncrementalVoxelMap.empty(
             p.voxel_resolution,
             capacity=p.map_capacity,
@@ -420,7 +440,7 @@ class JitOdometry:
             num_neighbors=p.num_neighbors,
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
-            model_nn=("bruteforce" if self.engine == "vgicp_model_fused"
+            model_nn=("bruteforce" if self.engine.endswith("_fused")
                       else "voxel"),
         )
         return poses
@@ -641,7 +661,7 @@ class BatchOdometry:
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
             registration_type=self.registration_type,
-            model_nn=("bruteforce" if self.engine == "vgicp_model_fused"
+            model_nn=("bruteforce" if self.engine.endswith("_fused")
                       else "voxel"),
         )
         return np.asarray(poses)

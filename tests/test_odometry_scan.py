@@ -170,3 +170,15 @@ def test_vgicp_fused_engine_tracks_like_vgicp():
     # nearest-mean is a superset of key lookup: same trajectory within
     # the registration noise floor
     assert np.max(np.abs(fus - ref)) < 5e-3, np.max(np.abs(fus - ref))
+
+
+def test_gicp_fused_engine_tracks_like_gicp_model():
+    """gicp_model_fused (exact nearest-stored-point correspondences on
+    the brute-force/fused path) must track like gicp_model (7-offset
+    voxel-key candidates). Exact NN is a superset of the key lookup, so
+    trajectories agree to the registration noise floor."""
+    frames = _frames()
+    ref = JitOdometry(PARAMS, engine="gicp_model").feed(frames)
+    fus = JitOdometry(PARAMS, engine="gicp_model_fused").feed(frames)
+    assert abs(fus[-1, 0, 3] - 0.6) < 0.05, fus[-1, 0, 3]
+    assert np.max(np.abs(fus - ref)) < 5e-3, np.max(np.abs(fus - ref))
