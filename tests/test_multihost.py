@@ -167,3 +167,28 @@ def test_two_process_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "psum over 2 processes OK" in out, out
+
+
+def test_initialize_pod_markers_fall_back_gracefully():
+    """Pod env markers without a reachable coordinator (pod-flavored
+    single-host sandboxes) must fall back to single-process instead of
+    raising — and explicit args must still raise. Run in a subprocess so
+    the env/jax.distributed state can't leak into this session."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["CLOUD_TPU_TASK_ID"] = "0"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from small_gicp_tpu.parallel import multihost
+multihost.initialize()   # pod markers, no coordinator -> no-op fallback
+assert multihost.process_info()[1] == 1
+print("FALLBACK_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "FALLBACK_OK" in r.stdout, (r.stdout, r.stderr)
