@@ -158,11 +158,18 @@ def knn_windowed(
     d_cat = jnp.concatenate(d_all, axis=1)  # [N, S*band]
     i_cat = jnp.concatenate(i_all, axis=1)
 
-    # Dedup across curves: row-wise sort by (candidate id, distance) —
-    # two keys, because edge-clipped band slots contribute the same id
-    # with an inf distance and the kept copy must be the minimum — then
-    # drop repeats and top-k by distance. All static shapes.
-    i_srt, d_srt = jax.lax.sort((i_cat, d_cat), num_keys=2, dimension=1)
+    # Dedup across curves. Each distinct candidate appears at most S
+    # times (once per curve, plus edge-clipped repeats at +inf), so the
+    # k distinct nearest always survive a top-(S·k) cut — dedup then
+    # runs on [N, S·k] instead of the full [N, S·band] (a 6x smaller
+    # row sort at the defaults). Sort the survivors by (id, distance) —
+    # two keys so the kept copy of a repeated id is its minimum — mask
+    # repeats, top-k by distance. All static shapes.
+    cut = min(s * k, d_cat.shape[1])
+    neg_c, pos_c = jax.lax.top_k(-d_cat, cut)
+    d_cut = -neg_c
+    i_cut = jnp.take_along_axis(i_cat, pos_c, axis=1)
+    i_srt, d_srt = jax.lax.sort((i_cut, d_cut), num_keys=2, dimension=1)
     dup = jnp.concatenate(
         [
             jnp.zeros((n, 1), bool),
