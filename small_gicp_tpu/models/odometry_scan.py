@@ -104,6 +104,7 @@ def odometry_scan_step(
     # every correspondence is masked out, H=0, all lambda trials accept a
     # zero delta, and the selected pose below falls back to T_world.
     guess = T_world @ T_delta if predict_motion else T_world
+    target = vm
     if model_nn == "bruteforce":
         # TPU-native model variant: correspondence = exact nearest
         # stored element (voxel mean for GVM, stored point for IVM)
@@ -112,46 +113,29 @@ def odometry_scan_step(
         # lookup. Semantically a superset of the key lookup (never
         # misses a candidate the key search would find within
         # max_correspondence_distance); trajectories are
-        # equivalence-tested against the "voxel" mode. The slot tables
-        # are exactly the fused kernel's target layout; dead/stale
-        # slots carry sentinel coords, so the distance rejector masks
-        # them on every path.
-        from small_gicp_tpu.models.voxelmap import voxelmap_as_cloud
+        # equivalence-tested against the "voxel" mode. The slot-table
+        # cloud views are exactly the fused kernel's target layout;
+        # dead/stale slots carry sentinel coords, so the distance
+        # rejector masks them on every path.
+        from small_gicp_tpu.models.voxelmap import ivm_as_cloud, voxelmap_as_cloud
 
         if isinstance(vm, GaussianVoxelMap):
-            target_cloud = voxelmap_as_cloud(vm)
+            target = voxelmap_as_cloud(vm)
         elif isinstance(vm, IncrementalVoxelMap) and vm.has_covs:
-            pad = jnp.asarray(
-                [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], dtype
-            )
-            live = vm.valid_points_mask()
-            target_cloud = PointCloud(
-                points=jnp.where(live[:, None], vm.points_flat(), pad),
-                num_points=vm.num_points_stored,
-                covs=vm.covs_flat(),  # dead rows never win the NN
-            )
+            target = ivm_as_cloud(vm)
         else:
             raise ValueError(
                 "model_nn='bruteforce' needs a GaussianVoxelMap or an "
                 "IncrementalVoxelMap with covariances"
             )
-        result = align_impl(
-            target_cloud,
-            cloud,
-            None,
-            guess,
-            registration_type="gicp",
-            max_dist_sq=max_correspondence_distance**2,
-        )
-    else:
-        result = align_impl(
-            vm,
-            cloud,
-            None,
-            guess,
-            registration_type="gicp",
-            max_dist_sq=max_correspondence_distance**2,
-        )
+    result = align_impl(
+        target,
+        cloud,
+        None,
+        guess,
+        registration_type="gicp",
+        max_dist_sq=max_correspondence_distance**2,
+    )
     real = frame_count > 0
     T_new = jnp.where(is_first | ~real, T_world, result.T_target_source)
     delta_new = jnp.where(
@@ -328,6 +312,12 @@ def stack_frames(frames, n_slots: int, max_scan_points: int, dtype):
     return stacked, counts
 
 
+def _model_nn_for(engine: str) -> str:
+    """Correspondence mode implied by the engine name (see
+    odometry_scan_step's model_nn)."""
+    return "bruteforce" if engine.endswith("_fused") else "voxel"
+
+
 def make_initial_carry(params: OdometryParams, engine: str):
     """(carry, registration_type) for an odometry loop of `engine`.
 
@@ -440,8 +430,7 @@ class JitOdometry:
             num_neighbors=p.num_neighbors,
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
-            model_nn=("bruteforce" if self.engine.endswith("_fused")
-                      else "voxel"),
+            model_nn=_model_nn_for(self.engine),
         )
         return poses
 
@@ -620,10 +609,7 @@ class BatchOdometry:
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             carries = jax.tree_util.tree_map(shard, carries)
-            self._sharding = lambda x: jax.device_put(
-                x,
-                NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1)))),
-            )
+            self._sharding = shard
         self.carries = carries
 
     def feed(self, sequences) -> np.ndarray:
@@ -661,7 +647,6 @@ class BatchOdometry:
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
             registration_type=self.registration_type,
-            model_nn=("bruteforce" if self.engine.endswith("_fused")
-                      else "voxel"),
+            model_nn=_model_nn_for(self.engine),
         )
         return np.asarray(poses)

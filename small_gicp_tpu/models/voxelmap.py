@@ -422,6 +422,25 @@ def voxelmap_as_cloud(vm: GaussianVoxelMap) -> PointCloud:
     return PointCloud(points=pts, num_points=vm.num_voxels, covs=vm.covs)
 
 
+def ivm_as_cloud(vm: "IncrementalVoxelMap") -> PointCloud:
+    """Expose an incremental map's stored points (+covs) as a point
+    cloud: the IVM analog of voxelmap_as_cloud / the reference's
+    SequentialVoxelMapAccessor. Dead/stale slot rows get sentinel
+    coords, so distance-masked consumers (NN, registration rejector)
+    never select them; `num_points` carries the live count (rows are
+    scattered, not compacted — address with the sentinel mask)."""
+    pad = jnp.asarray(
+        [PAD_SENTINEL, PAD_SENTINEL, PAD_SENTINEL, 0.0], vm.payload.dtype
+    )
+    live = vm.valid_points_mask()
+    return PointCloud(
+        points=jnp.where(live[:, None], vm.points_flat(), pad),
+        num_points=vm.num_points_stored,
+        normals=vm.normals_flat(),
+        covs=vm.covs_flat(),
+    )
+
+
 # ======================================================================
 # Incremental voxel map (scan-to-model): linear-iVox equivalent
 # ======================================================================
