@@ -36,7 +36,7 @@ from small_gicp_tpu.models.odometry import OdometryParams
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "model_nn",
+        "predict_motion", "model_nn", "model_rtype",
     ),
 )
 def odometry_scan_step(
@@ -50,6 +50,7 @@ def odometry_scan_step(
     covariance_mode: str = "knn",
     predict_motion: bool = False,
     model_nn: str = "voxel",
+    model_rtype: str = "gicp",
 ):
     """One odometry step; carry = (T_world [4,4], T_delta [4,4],
     voxelmap, is_first). T_delta is the last frame-to-frame motion; with
@@ -74,13 +75,33 @@ def odometry_scan_step(
             f"unknown covariance_mode {covariance_mode!r}; "
             "have 'knn', 'knn_window', 'voxel'"
         )
-    if covariance_mode == "voxel":
+    if model_rtype == "plane_icp":
+        # Point-to-plane scan-to-model: the map stores NORMALS, not
+        # covariances (IncrementalVoxelMapNormal payload). No reference
+        # engine does this (its model engines are GICP/VGICP only) —
+        # it falls out of the factor/target plumbing here.
+        pts, n = _voxelgrid_sampling_impl(
+            frame_points,
+            frame_count,
+            jnp.asarray(downsampling_resolution, dtype),
+            max_downsampled,
+        )
+        normals, _ = _estimate_impl(
+            pts, n, num_neighbors, True, False,
+            neighbor_mode=(
+                "window" if covariance_mode == "knn_window" else "exact"
+            ),
+            window_cell=downsampling_resolution,
+        )
+        cloud = PointCloud(points=pts, num_points=n, normals=normals)
+    elif covariance_mode == "voxel":
         pts, n, covs, _ = voxelgrid_sampling_with_covs_impl(
             frame_points,
             frame_count,
             jnp.asarray(downsampling_resolution, dtype),
             max_downsampled,
         )
+        cloud = PointCloud(points=pts, num_points=n, covs=covs)
     else:
         pts, n = _voxelgrid_sampling_impl(
             frame_points,
@@ -97,7 +118,7 @@ def odometry_scan_step(
             # point spacing is the natural quantization cell
             window_cell=downsampling_resolution,
         )
-    cloud = PointCloud(points=pts, num_points=n, covs=covs)
+        cloud = PointCloud(points=pts, num_points=n, covs=covs)
 
     # Registration vs the map (solves the absolute pose, like the
     # reference's model engines). On the first frame the map is empty:
@@ -119,21 +140,22 @@ def odometry_scan_step(
         # rejector masks them on every path.
         from small_gicp_tpu.models.voxelmap import ivm_as_cloud, voxelmap_as_cloud
 
+        needs = "has_normals" if model_rtype == "plane_icp" else "has_covs"
         if isinstance(vm, GaussianVoxelMap):
             target = voxelmap_as_cloud(vm)
-        elif isinstance(vm, IncrementalVoxelMap) and vm.has_covs:
+        elif isinstance(vm, IncrementalVoxelMap) and getattr(vm, needs):
             target = ivm_as_cloud(vm)
         else:
             raise ValueError(
                 "model_nn='bruteforce' needs a GaussianVoxelMap or an "
-                "IncrementalVoxelMap with covariances"
+                f"IncrementalVoxelMap with {needs}"
             )
     result = align_impl(
         target,
         cloud,
         None,
         guess,
-        registration_type="gicp",
+        registration_type=model_rtype,
         max_dist_sq=max_correspondence_distance**2,
     )
     real = frame_count > 0
@@ -257,7 +279,7 @@ def odometry_scan_s2s(
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "model_nn",
+        "predict_motion", "model_nn", "model_rtype",
     ),
 )
 def odometry_scan(
@@ -271,6 +293,7 @@ def odometry_scan(
     covariance_mode: str = "knn",
     predict_motion: bool = False,
     model_nn: str = "voxel",
+    model_rtype: str = "gicp",
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -290,6 +313,7 @@ def odometry_scan(
             covariance_mode=covariance_mode,
             predict_motion=predict_motion,
             model_nn=model_nn,
+            model_rtype=model_rtype,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -318,6 +342,11 @@ def _model_nn_for(engine: str) -> str:
     return "bruteforce" if engine.endswith("_fused") else "voxel"
 
 
+def _model_rtype_for(engine: str) -> str:
+    """Model-path factor type implied by the engine name."""
+    return "plane_icp" if engine.startswith("plane_icp_model") else "gicp"
+
+
 def make_initial_carry(params: OdometryParams, engine: str):
     """(carry, registration_type) for an odometry loop of `engine`.
 
@@ -339,6 +368,18 @@ def make_initial_carry(params: OdometryParams, engine: str):
             capacity=p.map_capacity,
             dtype=dtype,
             has_covs=True,
+            num_offsets=p.num_offsets,
+            voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
+        )
+    elif engine in ("plane_icp_model", "plane_icp_model_fused"):
+        # Point-to-plane scan-to-model (no reference counterpart): the
+        # map stores normals; correspondences via voxel-key lookup or,
+        # for "_fused", exact nearest stored point.
+        vm = IncrementalVoxelMap.empty(
+            p.voxel_resolution,
+            capacity=p.map_capacity,
+            dtype=dtype,
+            has_normals=True,
             num_offsets=p.num_offsets,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
@@ -431,6 +472,7 @@ class JitOdometry:
             covariance_mode=self.covariance_mode,
             predict_motion=p.predict_motion,
             model_nn=_model_nn_for(self.engine),
+            model_rtype=_model_rtype_for(self.engine),
         )
         return poses
 
@@ -505,7 +547,7 @@ class JitOdometry:
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "registration_type", "model_nn",
+        "predict_motion", "registration_type", "model_nn", "model_rtype",
     ),
 )
 def odometry_scan_batch(
@@ -520,6 +562,7 @@ def odometry_scan_batch(
     predict_motion: bool = False,
     registration_type: Optional[str] = None,
     model_nn: str = "voxel",
+    model_rtype: str = "gicp",
 ):
     """B independent odometry loops, vmapped into one program.
 
@@ -547,6 +590,7 @@ def odometry_scan_batch(
                 covariance_mode=covariance_mode,
                 predict_motion=predict_motion,
                 model_nn=model_nn,
+                model_rtype=model_rtype,
             )
     else:
         def run(c, f, n):
@@ -648,5 +692,6 @@ class BatchOdometry:
             predict_motion=p.predict_motion,
             registration_type=self.registration_type,
             model_nn=_model_nn_for(self.engine),
+            model_rtype=_model_rtype_for(self.engine),
         )
         return np.asarray(poses)

@@ -182,3 +182,13 @@ def test_gicp_fused_engine_tracks_like_gicp_model():
     fus = JitOdometry(PARAMS, engine="gicp_model_fused").feed(frames)
     assert abs(fus[-1, 0, 3] - 0.6) < 0.05, fus[-1, 0, 3]
     assert np.max(np.abs(fus - ref)) < 5e-3, np.max(np.abs(fus - ref))
+
+
+@pytest.mark.parametrize("engine", ["plane_icp_model", "plane_icp_model_fused"])
+def test_plane_icp_model_engine_tracks(engine):
+    """Point-to-plane scan-to-model (map stores normals — no reference
+    counterpart; falls out of the factor/target plumbing)."""
+    frames = _frames()
+    poses = JitOdometry(PARAMS, engine=engine).feed(frames)
+    assert abs(poses[-1, 0, 3] - 0.6) < 0.05, f"{engine}: {poses[-1, 0, 3]}"
+    assert np.linalg.norm(poses[-1, :3, :3] - np.eye(3)) < 0.02
