@@ -199,6 +199,40 @@ class ScanToModelOdometry(_OdometryBase):
         return self.T_world
 
 
+class PlaneICPModelOdometry(ScanToModelOdometry):
+    """Point-to-plane scan-to-model odometry: the incremental map stores
+    NORMALS (IncrementalVoxelMapNormal payload) and the point-to-plane
+    factor runs against the model. No reference counterpart (its model
+    engines are GICP/VGICP only); registry parity with the jitted
+    `plane_icp_model` engine (models/odometry_scan.py)."""
+
+    def __init__(self, params: Optional[OdometryParams] = None):
+        super().__init__(params)
+        p = self.params
+        self.reg = Registration(
+            registration_type="plane_icp",
+            max_correspondence_distance=p.max_correspondence_distance,
+        )
+        self.voxelmap = IncrementalVoxelMap.empty(
+            p.voxel_resolution,
+            capacity=p.map_capacity,
+            dtype=p.dtype,
+            has_normals=True,
+            cell_capacity=10,
+            num_offsets=p.num_offsets,
+            voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
+        )
+
+    def _preprocess(self, cloud: PointCloud) -> PointCloud:
+        from small_gicp_tpu.ops.normals import estimate_normals
+
+        p = self.params
+        down = voxelgrid_sampling(
+            cloud, p.downsampling_resolution, max_points=p.max_downsampled
+        )
+        return estimate_normals(down, num_neighbors=p.num_neighbors)
+
+
 class VGICPModelOdometry(_OdometryBase):
     """VGICP scan-to-model odometry with a Gaussian voxel map
     (odometry_benchmark_small_vgicp_model_tbb.cpp:30-45)."""
@@ -341,6 +375,7 @@ ENGINES = {
     "small_plane_icp": _scan_to_scan_factory("plane_icp"),
     "small_vgicp": VGICPScanToScanOdometry,
     "small_gicp_model": ScanToModelOdometry,
+    "small_plane_icp_model": PlaneICPModelOdometry,
     "small_vgicp_model": VGICPModelOdometry,
     "small_gicp_flow": FlowScanToScanOdometry,
     "small_gicp_projective": ProjectiveScanToScanOdometry,
