@@ -131,3 +131,46 @@ def test_fused_gicp_linearize_compiled(rng):
     scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
     np.testing.assert_allclose(np.asarray(H) / scale,
                                np.asarray(H_ref) / scale, atol=1e-3)
+
+
+@requires_tpu
+def test_knn_window_compiled_on_chip(rng):
+    """Multi-shift Morton-banded self-kNN compiled for the real backend
+    (sorts + windowed gathers + row top-k all lower through Mosaic/XLA:TPU)."""
+    from small_gicp_tpu.point_cloud import PointCloud
+    from small_gicp_tpu.ops.knn import brute_force_knn_numpy
+    from small_gicp_tpu.ops.knn_window import knn_windowed
+
+    pts = rng.uniform(-30, 30, size=(4096, 3)).astype(np.float32)
+    pts[:, 2] *= 0.05
+    cloud = PointCloud.from_points(pts)
+    d, i = knn_windowed(cloud.points, cloud.num_points, 20, cell=0.25)
+    d, i = np.asarray(d), np.asarray(i)
+    _, i_ref = brute_force_knn_numpy(pts, pts, 20)
+    tags = i + np.arange(4096)[:, None] * 4096
+    tags_ref = i_ref + np.arange(4096)[:, None] * 4096
+    assert np.isin(tags_ref, tags).mean() > 0.95
+    assert np.allclose(d[:, 0], 0.0, atol=1e-5)
+
+
+@requires_tpu
+def test_fused_engines_on_chip(rng):
+    """gicp_model_fused / vgicp_model_fused / plane_icp_model run
+    compiled on the chip and track a simple translation."""
+    from small_gicp_tpu.models.odometry import OdometryParams
+    from small_gicp_tpu.models.odometry_scan import JitOdometry
+
+    base = rng.uniform(-20, 20, size=(6000, 3)).astype(np.float32)
+    base[:, 2] = np.abs(base[:, 2]) * 0.1
+    scans = [
+        base - np.array([0.4 * i, 0, 0], np.float32) for i in range(6)
+    ]
+    for engine in ("gicp_model_fused", "vgicp_model_fused", "plane_icp_model"):
+        odo = JitOdometry(
+            OdometryParams(max_scan_points=8192, max_downsampled=8192,
+                           map_capacity=16384),
+            engine=engine, chunk_frames=6,
+            covariance_mode="knn_window",
+        )
+        poses = odo.feed(scans)
+        assert abs(poses[-1][0, 3] - 2.0) < 0.1, (engine, poses[-1][0, 3])
