@@ -25,8 +25,19 @@ INVALID_KEY = jnp.iinfo(jnp.int64).max
 
 
 def voxel_coords(points_xyz: jax.Array, inv_leaf: jax.Array) -> jax.Array:
-    """[N,3] float coords → [N,3] int32 voxel coords (floor(p/leaf))."""
-    return jnp.floor(points_xyz * inv_leaf).astype(jnp.int32)
+    """[N,3] float coords → [N,3] int32 voxel coords (floor(p/leaf)).
+
+    Non-finite coords (NaN scans) and out-of-int32 magnitudes (the
+    PAD_SENTINEL rows) are forced to 2^30 BEFORE the int cast: XLA's
+    float→int conversion is implementation-defined on NaN/overflow
+    (NaN casts to 0 on some backends, which would fabricate a VALID
+    voxel key at the origin), and 2^30 is far outside the 21-bit range
+    so pack_coords maps these rows to INVALID_KEY deterministically.
+    """
+    c = jnp.floor(points_xyz * inv_leaf)
+    big = jnp.asarray(2.0**30, c.dtype)
+    c = jnp.where(jnp.isfinite(c), jnp.clip(c, -big, big), big)
+    return c.astype(jnp.int32)
 
 
 def pack_coords(coords: jax.Array) -> jax.Array:

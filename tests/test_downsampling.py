@@ -109,3 +109,30 @@ def test_voxelgrid_max_points_exceeds_capacity(rng):
     n = int(down.num_points)
     assert 0 < n <= 100
     assert np.all(np.abs(np.asarray(down.points[:n, :3])) < 10)
+
+
+def test_nan_and_inf_points_are_dropped():
+    """Non-finite coords must map to INVALID keys deterministically:
+    XLA's float->int cast is implementation-defined on NaN (it can cast
+    to 0, fabricating a valid voxel at the origin). Reference behavior:
+    NaN points are skipped at ingest (ros_impl.hpp NaN skip)."""
+    import jax.numpy as jnp
+    from small_gicp_tpu.ops.downsampling import voxelgrid_sampling
+    from small_gicp_tpu.ops.voxel_keys import INVALID_KEY, voxel_keys
+
+    pts = np.array([
+        [0.1, 0.1, 0.1],
+        [np.nan, 0.0, 0.0],
+        [0.0, np.inf, 0.0],
+        [0.0, 0.0, -np.inf],
+        [5.1, 5.1, 5.1],
+    ])
+    keys = np.asarray(voxel_keys(jnp.asarray(pts), 1.0))
+    assert keys[1] == INVALID_KEY and keys[2] == INVALID_KEY
+    assert keys[3] == INVALID_KEY
+    assert keys[0] != INVALID_KEY and keys[4] != INVALID_KEY
+
+    down = voxelgrid_sampling(PointCloud.from_points(pts), 1.0)
+    assert int(down.num_points) == 2  # only the two finite voxels
+    got = np.sort(down.points_numpy()[:, 0])
+    assert np.allclose(got, [0.1, 5.1])
