@@ -107,3 +107,31 @@ def test_umeyama_exact(rng):
     T = umeyama_alignment(src, dst)
     np.testing.assert_allclose(T[:3, :3], R, atol=1e-10)
     np.testing.assert_allclose(src @ T[:3, :3].T + T[:3, 3], dst, atol=1e-10)
+
+
+def test_jit_odometry_carry_checkpoint_resume(tmp_path):
+    """The jitted loop's carry is a plain pytree: snapshot mid-sequence,
+    restore into a fresh JitOdometry, and the continuation must match an
+    uninterrupted run exactly."""
+    from small_gicp_tpu.models.odometry import OdometryParams
+    from small_gicp_tpu.models.odometry_scan import JitOdometry
+    from small_gicp_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(-8, 8, size=(1500, 3))
+    base[:, 2] = 0.3 * np.sin(base[:, 0])
+    frames = [base - [0.15 * i, 0, 0] for i in range(6)]
+    P = OdometryParams(max_scan_points=2048, max_downsampled=2048,
+                       map_capacity=4096, downsampling_resolution=0.4)
+
+    full = JitOdometry(P, chunk_frames=3).feed(frames)
+
+    a = JitOdometry(P, chunk_frames=3)
+    a.feed(frames[:3])
+    ckpt = str(tmp_path / "carry.npz")
+    save_pytree(ckpt, a.carry)
+
+    b = JitOdometry(P, chunk_frames=3)  # fresh engine, same params
+    b.carry = load_pytree(ckpt, b.carry)
+    tail = b.feed(frames[3:])
+    np.testing.assert_allclose(tail, full[3:], rtol=1e-6, atol=1e-7)
