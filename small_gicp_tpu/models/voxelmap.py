@@ -99,7 +99,7 @@ class GaussianVoxelMap:
     @staticmethod
     def empty(
         leaf_size: float,
-        capacity: int,
+        capacity: int = 131072,
         dtype=jnp.float32,
         num_offsets: int = 1,
         lru_horizon: int = 100,
@@ -530,7 +530,7 @@ class IncrementalVoxelMap:
     @staticmethod
     def empty(
         leaf_size: float,
-        capacity: int,
+        capacity: int = 131072,
         dtype=jnp.float32,
         has_normals: bool = False,
         has_covs: bool = False,

@@ -206,3 +206,13 @@ def test_gvm_insert_requires_covs(rng):
     vm = GaussianVoxelMap.empty(1.0, 128)
     with pytest.raises(ValueError):
         vm.insert(PointCloud.from_points(pts))
+
+
+def test_default_capacity_constructors():
+    """Binding parity: the reference constructs maps with leaf size only
+    (voxelmap.cpp py::init<double>); capacity defaults to 131072 here
+    (static shapes need SOME bound)."""
+    vm = GaussianVoxelMap.empty(0.5)
+    assert vm.capacity >= 131072
+    ivm = IncrementalVoxelMap.empty(1.0)
+    assert ivm.capacity >= 131072
