@@ -22,11 +22,13 @@ import time
 import numpy as np
 
 
-def run_engine(engine, frames_dev, counts_dev, n_frames, params, chunk_frames=16):
+def run_engine(engine, frames_dev, counts_dev, n_frames, params, chunk_frames=16,
+               covariance_mode="knn"):
     import jax
     from small_gicp_tpu.models.odometry_scan import JitOdometry
 
-    odo = JitOdometry(params, engine=engine, chunk_frames=chunk_frames)
+    odo = JitOdometry(params, engine=engine, chunk_frames=chunk_frames,
+                      covariance_mode=covariance_mode)
     poses = odo.feed_preloaded(frames_dev, counts_dev, n_real=n_frames)
     # Steady-state ms/scan: the first chunk's wall time includes the
     # one-off XLA compile, so report the mean over the remaining chunks.
@@ -51,6 +53,11 @@ def main(argv=None):
     ap.add_argument("--max-downsampled", type=int, default=16384)
     ap.add_argument("--map-capacity", type=int, default=262144)
     ap.add_argument("--chunk-frames", type=int, default=16)
+    ap.add_argument("--cov-mode", default="knn",
+                    choices=("knn", "knn_window", "voxel"),
+                    help="per-frame covariance estimator for model engines "
+                         "(knn = exact reference semantics; knn_window = "
+                         "Morton-banded approximate self-kNN, O(N*S*W))")
     ap.add_argument("--offsets", type=int, default=7,
                     help="model-map voxel search pattern (1/7/27); the "
                          "reference default 1 is narrower than typical "
@@ -100,7 +107,7 @@ def main(argv=None):
             params.map_capacity = max(args.map_capacity // 4, 65536)
         poses, ms = run_engine(
             engine, frames_dev, counts_dev, args.frames, params,
-            chunk_frames=args.chunk_frames,
+            chunk_frames=args.chunk_frames, covariance_mode=args.cov_mode,
         )
         ape = ape_translation(poses, gt_rel)
         rpe = rpe_translation(poses, gt_rel, delta=args.rpe_delta)

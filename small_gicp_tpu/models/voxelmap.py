@@ -366,21 +366,24 @@ def _gvm_nn(vm: GaussianVoxelMap, query_xyz: jax.Array):
     ).reshape(q, -1)
     pos = jnp.clip(pos, 0, cap - 1)
 
-    # ONE fused [V, 3]-f32 directory gather (key bits + slot bits), then
+    # ONE fused [V, 3]-i32 directory gather (key bits + slot bits), then
     # a [Q,K,3] mean gather at the slots. (Folding the 9 covariance
     # columns into the query-side gather measures 8x SLOWER — the wide
     # [Q,K,14] gather hits a bad XLA path — so payload gathers stay in
-    # the caller.)
+    # the caller.) The carrier MUST be an integer type: routing the bit
+    # patterns through float32 flushes denormal patterns (any value
+    # < 2^23, i.e. every slot id) to zero on TPU (FTZ), silently
+    # emptying the map — CPU has no FTZ, so only chip runs see it.
     dtable = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.float32),
-            jax.lax.bitcast_convert_type(vm.dir_vals, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.int32),
+            vm.dir_vals[:, None],
         ],
         axis=1,
     )
-    drows = dtable[pos]  # [Q,K,3]
+    drows = dtable[pos]  # [Q,K,3] int32
     gkeys = jax.lax.bitcast_convert_type(drows[..., 0:2], jnp.int64)
-    slot = jax.lax.bitcast_convert_type(drows[..., 2], jnp.int32)
+    slot = drows[..., 2]
     found = (gkeys == cand_keys) & (cand_keys != INVALID_KEY)
     slot = jnp.where(found, slot, 0)
 
@@ -913,19 +916,21 @@ def _ivm_knn(vm: IncrementalVoxelMap, query_xyz, k: int):
     ).reshape(q, K)
     pos = jnp.clip(pos, 0, V - 1)
 
-    # One fused [V, 3]-f32 directory gather: key bits (2 cols) + packed
+    # One fused [V, 3]-i32 directory gather: key bits (2 cols) + packed
     # (slot, occupancy) bits (1 col); per-row gather cost dominates, so
-    # the three lookups share one row.
+    # the three lookups share one row. Integer carrier, NOT float32:
+    # f32 routing flushes denormal bit patterns (every (slot<<8)|occ
+    # value < 2^23, and key low-halves) to zero on TPU — see _gvm_nn.
     dtable = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.float32),
-            jax.lax.bitcast_convert_type(vm.dir_vals, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(vm.dir_keys, jnp.int32),
+            vm.dir_vals[:, None],
         ],
         axis=1,
     )
-    drows = dtable[pos]  # [Q,K,3]
+    drows = dtable[pos]  # [Q,K,3] int32
     gkeys = jax.lax.bitcast_convert_type(drows[..., 0:2], jnp.int64)
-    dval = jax.lax.bitcast_convert_type(drows[..., 2], jnp.int32)
+    dval = drows[..., 2]
     found = (gkeys == cand_keys) & (cand_keys != INVALID_KEY)
     slot = jnp.where(found, dval >> 8, 0)
     occv = jnp.where(found, dval & 0xFF, 0)
