@@ -73,6 +73,13 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
+    from small_gicp_tpu.utils.profiling import enable_compilation_cache
+
+    # Cold compiles of the two benchmark programs have been observed to
+    # take minutes over the dev tunnel; the persistent cache makes every
+    # run after the first load them in <1 s.
+    enable_compilation_cache()
+
     import small_gicp_tpu as sgt
     from small_gicp_tpu.models.registration import align_impl
 

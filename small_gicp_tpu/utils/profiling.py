@@ -13,6 +13,11 @@ compiled-async runtime needs:
   * `nan_guard()` — enables jax_debug_nans (the TPU-side analog of the
     sanitizer slot in SURVEY.md §5: no shared-memory races exist under
     JAX, numeric poison is the failure mode to trap instead).
+  * `enable_compilation_cache()` — persistent XLA executable cache so
+    benchmark/driver processes skip recompiles (on the tunneled dev
+    backend a cold compile of the fused registration program has been
+    observed to take minutes; with the cache a fresh process reloads it
+    in <1 s).
 """
 
 from __future__ import annotations
@@ -24,6 +29,26 @@ from typing import Dict
 import jax
 
 from small_gicp_tpu.utils.benchmark import Summarizer
+
+
+def enable_compilation_cache(
+    cache_dir: str = "/root/repo/.jax_cache",
+    min_compile_secs: float = 0.5,
+) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    Compiled executables are keyed by HLO hash and reloaded across
+    processes, so repeated benchmark/driver invocations pay the (tunnel-
+    dependent, sometimes minutes-long) XLA compile exactly once. Call
+    before the first jit execution; safe to call repeatedly.
+    """
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
 
 
 @contextlib.contextmanager
