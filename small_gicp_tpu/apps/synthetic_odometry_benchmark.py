@@ -72,6 +72,9 @@ def main(argv=None):
     from small_gicp_tpu.utils.synthetic import generate_sequence_device
     from small_gicp_tpu.utils.metrics import ape_translation, rpe_translation
     from small_gicp_tpu.models.odometry import OdometryParams, write_trajectory
+    from small_gicp_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     t0 = time.perf_counter()
     n_pad = (

@@ -109,7 +109,19 @@ def align(
         # VGICP path: the voxelmap is both target model and searcher
         # (registration_helper.cpp:136). NOTE: the reference does not set
         # the rejector's max_dist_sq here — it stays at the default 1.0
-        # (rejector.hpp:19-28) — reproduced faithfully.
+        # (rejector.hpp:19-28) — reproduced faithfully, but unlike the
+        # reference we at least SAY so when a non-default value is dropped.
+        if max_correspondence_distance != 1.0:
+            import warnings
+
+            warnings.warn(
+                "align(): max_correspondence_distance is ignored on the "
+                "VGICP/voxelmap path (the reference keeps the rejector at "
+                "its default 1.0 m — registration_helper.cpp:125-137); use "
+                "Registration(registration_type='vgicp', "
+                "max_correspondence_distance=...) for a custom rejector.",
+                stacklevel=2,
+            )
         reg = Registration(
             registration_type="vgicp",
             max_iterations=max_iterations,
@@ -149,6 +161,9 @@ def align(
             rotation_eps=rotation_eps,
             translation_eps=translation_eps,
             verbose=verbose,
+            # forwarded ONLY so the voxelmap branch can warn that it is
+            # dropped (reference semantics keep the rejector at 1.0 m).
+            max_correspondence_distance=max_correspondence_distance,
         )
 
     reg = Registration(

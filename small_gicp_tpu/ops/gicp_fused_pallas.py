@@ -55,7 +55,10 @@ _BIG = 3.0e38
 
 
 def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
-    """nt_ref: SMEM [20] = [R row-major 9 | t 3 | max_dist_sq | pad];
+    """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq | pad]
+    (2-D so the auto-batching rule's squeezed leading block dim keeps the
+    last two block dims equal to the array dims — vmap adds a leading
+    grid axis and this kernel batches as-is);
     t_ref: VMEM [BM, 16] target tile (cols 0-2 xyz, 3-11 cov row-major);
     q_ref: VMEM [16, BQ] source block (rows 0-2 p, 3-11 C_s, 12
     row-valid); corr_ref: [16, BQ] out; acc_ref: [8, 128] out;
@@ -63,11 +66,11 @@ def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
     mi = pl.program_id(1)
     n_mi = pl.num_programs(1)
 
-    r00, r01, r02 = nt_ref[0], nt_ref[1], nt_ref[2]
-    r10, r11, r12 = nt_ref[3], nt_ref[4], nt_ref[5]
-    r20, r21, r22 = nt_ref[6], nt_ref[7], nt_ref[8]
-    tx, ty, tz = nt_ref[9], nt_ref[10], nt_ref[11]
-    max_d2 = nt_ref[12]
+    r00, r01, r02 = nt_ref[0, 0], nt_ref[0, 1], nt_ref[0, 2]
+    r10, r11, r12 = nt_ref[0, 3], nt_ref[0, 4], nt_ref[0, 5]
+    r20, r21, r22 = nt_ref[0, 6], nt_ref[0, 7], nt_ref[0, 8]
+    tx, ty, tz = nt_ref[0, 9], nt_ref[0, 10], nt_ref[0, 11]
+    max_d2 = nt_ref[0, 12]
 
     @pl.when(mi == 0)
     def _():
@@ -296,10 +299,10 @@ def gicp_linearize_pallas(
         [
             Tf[:3, :3].reshape(-1),
             Tf[:3, 3],
-            jnp.asarray(max_dist_sq, jnp.float32)[None],
+            jnp.asarray(max_dist_sq, jnp.float32).reshape(-1)[:1],
             jnp.zeros((7,), jnp.float32),
         ]
-    )  # [20]
+    )[None, :]  # [1, 20] (2-D so vmap's squeezed batch dim lowers — see kernel)
 
     grid = (qp // block_q, mp // block_m)
     with jax.enable_x64(False):
@@ -353,13 +356,14 @@ def gicp_linearize_pallas(
 def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
     """All LM trial errors in one pass.
 
-    ps_ref: SMEM [12*(K+1)] rows of [R row-major 9 | t 3] per pose;
+    ps_ref: SMEM [1, 12*(K+1)] rows of [R row-major 9 | t 3] per pose
+    (2-D for the same vmap-batching reason as _fused_kernel's nt_ref);
     c_ref: VMEM [16, BQ] frozen correspondence block (rows 0-2 mu,
     3-11 W row-major, 12 mask); q_ref: VMEM [16, BQ] source block
     (rows 0-2 p); acc_ref: [8, 128] out — cols 0..K hold the block's
     error sums for each pose (8 replicated rows, caller divides).
     """
-    k1 = ps_ref.shape[0] // 12
+    k1 = ps_ref.shape[1] // 12
 
     px = q_ref[0:1, :]
     py = q_ref[1:2, :]
@@ -373,9 +377,10 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
     rows = []
     for k in range(k1):
         o = 12 * k
-        qx = ps_ref[o + 0] * px + ps_ref[o + 1] * py + ps_ref[o + 2] * pz + ps_ref[o + 9]
-        qy = ps_ref[o + 3] * px + ps_ref[o + 4] * py + ps_ref[o + 5] * pz + ps_ref[o + 10]
-        qz = ps_ref[o + 6] * px + ps_ref[o + 7] * py + ps_ref[o + 8] * pz + ps_ref[o + 11]
+        p_ = lambda j: ps_ref[0, o + j]
+        qx = p_(0) * px + p_(1) * py + p_(2) * pz + p_(9)
+        qy = p_(3) * px + p_(4) * py + p_(5) * pz + p_(10)
+        qz = p_(6) * px + p_(7) * py + p_(8) * pz + p_(11)
         rx = mux - qx
         ry = muy - qy
         rz = muz - qz
@@ -439,7 +444,7 @@ def gicp_error_multi_pallas(
             jnp.concatenate([Tf[k, :3, :3].reshape(-1), Tf[k, :3, 3]])
             for k in range(k1)
         ]
-    )  # [12*K1]
+    )[None, :]  # [1, 12*K1]
 
     grid = (qp // block_q,)
     with jax.enable_x64(False):

@@ -138,11 +138,32 @@ class KdTree:
             cloud = PointCloud.from_points(cloud)
         return KdTree(points=cloud.points, num_points=cloud.num_points)
 
-    def knn_search(self, query_xyz, k: int, block: int = DEFAULT_QUERY_BLOCK):
+    def knn_search(
+        self,
+        query_xyz,
+        k: int,
+        block: int = DEFAULT_QUERY_BLOCK,
+        method: str = "exact",
+        window_cell: float = 1.0,
+    ):
         """Batch kNN: [Q,3] (or a single [3]) → (sq_dists [Q,k], idx [Q,k]).
 
         Covers both knn_search and batch_knn_search of the reference
         bindings (src/python/kdtree.cpp:122-213).
+
+        `method`:
+          * "exact" (default) — exact brute force, O(Q·M) on the
+            MXU/Pallas paths; the same result contract as the
+            reference's KdTree (ann/kdtree.hpp:194-233).
+          * "window" — sub-quadratic Morton-banded approximate search
+            (ops/knn_window.knn_windowed_query): O((M+Q)·log + Q·S·W).
+            ≥97% set-recall at the defaults on spatially coherent
+            clouds; missed slots return sq_dist=inf. Use this at
+            raw-scan scales (M ≳ 10⁵) where exact O(Q·M) stops being
+            free — the honest analog of the reference's
+            `KnnSetting.epsilon` approximate knob (knn_result.hpp:18-22).
+            `window_cell` is the Morton quantization cell (any value
+            within a few orders of the point spacing works).
 
         `block` tunes the query tiling of the XLA brute-force path only;
         the Pallas path (TPU, f32, 1 < k <= 64) uses its own fixed VMEM
@@ -152,7 +173,20 @@ class KdTree:
         single = query_xyz.ndim == 1
         if single:
             query_xyz = query_xyz[None, :]
-        if _use_pallas() and self.points.dtype == jnp.float32 and 1 < k <= 64:
+        if method == "window":
+            from small_gicp_tpu.ops.knn_window import knn_windowed_query
+
+            d, i = knn_windowed_query(
+                self.points, self.num_points, query_xyz[:, :3], k,
+                cell=window_cell,
+            )
+        elif method != "exact":
+            raise ValueError(
+                f"unknown method {method!r}; have 'exact', 'window'"
+            )
+        elif (
+            _use_pallas() and self.points.dtype == jnp.float32 and 1 < k <= 64
+        ):
             from small_gicp_tpu.ops.knn_pallas import knn_pallas
 
             d, i = knn_pallas(self.points, query_xyz[:, :3], k)

@@ -181,3 +181,94 @@ def knn_windowed(
 
     neg, pos = jax.lax.top_k(-d_srt, k)
     return -neg, jnp.take_along_axis(i_srt, pos, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "window", "shifts"))
+def knn_windowed_query(
+    target_points: jax.Array,
+    target_num: jax.Array,
+    query_xyz: jax.Array,
+    k: int,
+    window: int = 64,
+    cell: float = 1.0,
+    shifts: int = 4,
+):
+    """Approximate kNN of arbitrary queries in a padded target cloud.
+
+    The query≠target generalization of `knn_windowed`: targets are
+    sorted along S shifted Morton curves once; each query is located on
+    every curve with a searchsorted and its candidate set is the union
+    of the ±W bands around those positions. O((M+Q)·log + Q·S·W) versus
+    the exact searcher's O(Q·M) — this is the sub-quadratic option the
+    public `KdTree.knn_search(..., method="window")` routes to for
+    raw-scan-scale clouds where the reference would use its tree
+    (ann/kdtree.hpp:194-233). Same recall contract as `knn_windowed`
+    (≥97% set-recall at the defaults on LiDAR-like geometry,
+    tests/test_knn_window.py); missed slots have sq_dist=inf.
+
+    Returns (sq_dists [Q,k], idx [Q,k]) ascending, no duplicate indices.
+    """
+    m = target_points.shape[0]
+    nq = query_xyz.shape[0]
+    dtype = target_points.dtype
+    txyz = target_points[:, :3]
+    qxyz = query_xyz[:, :3].astype(dtype)
+    w = int(window)
+    s = int(shifts)
+    if not 1 <= s <= len(_SHIFTS):
+        raise ValueError(f"shifts must be in [1, {len(_SHIFTS)}]")
+    band = 2 * w + 1
+    if k > s * band:
+        raise ValueError(f"k={k} exceeds total candidates {s * band}")
+
+    valid_t = jnp.arange(m) < target_num
+    big = jnp.asarray(jnp.inf, dtype)
+    txyz_m = jnp.where(valid_t[:, None], txyz, big)
+    trows = jnp.arange(m, dtype=jnp.int32)
+    qrows = jnp.arange(nq, dtype=jnp.int32)
+
+    d_all = []
+    i_all = []
+    for si in range(s):
+        shift = jnp.asarray(_SHIFTS[si], dtype) * jnp.asarray(cell, dtype)
+        codes_t = jnp.where(
+            valid_t, morton_codes(txyz + shift, cell), jnp.iinfo(jnp.int64).max
+        )
+        codes_sorted, perm = jax.lax.sort((codes_t, trows), num_keys=1)
+        xs = txyz_m[perm]  # curve-ordered targets, padding = +inf
+
+        codes_q = morton_codes(qxyz + shift, cell)
+        pos = jnp.searchsorted(codes_sorted, codes_q).astype(jnp.int32)  # [Q]
+
+        # Band rows ∈ [pos−W, pos+W]; xs row i lives at xp[i+W], so the
+        # window starts at xp[pos] (same im2col construction as the self
+        # variant, with searchsorted supplying the anchor).
+        xp = jnp.concatenate(
+            [jnp.full((w, 3), big, dtype), xs, jnp.full((w, 3), big, dtype)]
+        )
+        win = xp[pos[:, None] + jnp.arange(band)[None, :]]  # [Q,band,3]
+        d = win - qxyz[:, None, :]
+        d2 = jnp.sum(d * d, axis=-1)
+        d2 = jnp.where(jnp.isfinite(d2), d2, big)
+
+        src = jnp.clip(pos[:, None] + jnp.arange(band)[None, :] - w, 0, m - 1)
+        d_all.append(d2)
+        i_all.append(perm[src])
+
+    d_cat = jnp.concatenate(d_all, axis=1)  # [Q, S*band]
+    i_cat = jnp.concatenate(i_all, axis=1)
+
+    # Same dedup as knn_windowed: top-(S·k) cut, (id, dist) sort, mask
+    # repeats, top-k.
+    cut = min(s * k, d_cat.shape[1])
+    neg_c, pos_c = jax.lax.top_k(-d_cat, cut)
+    d_cut = -neg_c
+    i_cut = jnp.take_along_axis(i_cat, pos_c, axis=1)
+    i_srt, d_srt = jax.lax.sort((i_cut, d_cut), num_keys=2, dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((nq, 1), bool), i_srt[:, 1:] == i_srt[:, :-1]], axis=1
+    )
+    d_srt = jnp.where(dup, big, d_srt)
+
+    neg, pos = jax.lax.top_k(-d_srt, k)
+    return -neg, jnp.take_along_axis(i_srt, pos, axis=1)

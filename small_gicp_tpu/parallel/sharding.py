@@ -42,14 +42,13 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
 def _batched_align_fn(**static_kwargs):
     """vmap align_impl over (target, source, init_T). Safe because the
     optimizer loop bodies are masked no-ops for inactive lanes (see
-    models/registration.py)."""
+    models/registration.py). The fused Pallas search+linearize kernel
+    batches under vmap (its SMEM operands are 2-D so the auto-batching
+    rule can add a leading grid axis — ops/gicp_fused_pallas.py), so
+    lanes keep the single-kernel-per-iteration fast path."""
 
     def one(target, source, init_T):
-        # use_fused="never": pallas_call with VMEM scratch does not
-        # batch under vmap; lanes take the XLA linearize path.
-        return align_impl(
-            target, source, None, init_T, use_fused="never", **static_kwargs
-        )
+        return align_impl(target, source, None, init_T, **static_kwargs)
 
     return jax.vmap(one)
 
@@ -87,7 +86,37 @@ def align_batch(
     targets = shard_cloud(targets)
     sources = shard_cloud(sources)
     init_Ts = jax.device_put(init_Ts, shard)
-    return jax.jit(fn)(targets, sources, init_Ts)
+
+    # shard_map, not bare GSPMD: pallas_call is opaque to the SPMD
+    # partitioner, so sharded lanes must be split into per-device vmapped
+    # calls explicitly — each device runs the fused kernels on its local
+    # lane block, zero collectives (lanes are independent).
+    try:  # moved to jax.shard_map in newer JAX
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    in_specs = jax.tree_util.tree_map(
+        lambda _: P(axis), (targets, sources, init_Ts)
+    )
+    out_specs = jax.tree_util.tree_map(
+        lambda _: P(axis), jax.eval_shape(fn, targets, sources, init_Ts)
+    )
+    try:
+        # check_vma=False: the optimizer's while_loop carry starts from
+        # unvarying literals (eye/zeros), which the varying-manual-axes
+        # checker rejects against the varying loop outputs; lanes are
+        # independent, so the check buys nothing here.
+        sharded_fn = shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older JAX spelling
+        sharded_fn = shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+    return jax.jit(sharded_fn)(targets, sources, init_Ts)
 
 
 def align_point_sharded(

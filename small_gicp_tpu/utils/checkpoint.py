@@ -89,18 +89,43 @@ def load_odometry_state(path: str, odom) -> None:
     if getattr(odom, "_prev_map", None) is not None:
         template["prev_map"] = odom._prev_map
 
-    # The trajectory length is unknown to the template: load leaves
-    # manually for it.
+    # The trajectory length is unknown to the template, so load_pytree's
+    # blanket shape check can't be used — but every OTHER leaf is
+    # fixed-shape and must match, or a wrong-capacity checkpoint
+    # surfaces later as an opaque XLA shape error instead of a clean
+    # ValueError here. Validate per-leaf, exempting only `traj`.
     data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten(template)
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     saved = [data[f"leaf_{i}"] for i in range(len(
         [k for k in data.files if k.startswith("leaf_")]
     ))]
-    if len(saved) != len(leaves):
+    if len(saved) != len(path_leaves):
         raise ValueError(
             "checkpoint/template mismatch — construct the engine with the "
             "same parameters and warm state (e.g. first frame) as when saving"
         )
+    saved_str = bytes(data["__treedef__"]).decode()
+    if saved_str != str(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  saved:    {saved_str}\n  template: {treedef}"
+        )
+    for i, (kp, tmpl) in enumerate(path_leaves):
+        if any(getattr(p, "key", None) == "traj" for p in kp):
+            if saved[i].ndim != 3 or saved[i].shape[1:] != (4, 4):
+                raise ValueError(
+                    f"trajectory leaf has shape {saved[i].shape}, "
+                    "expected [F,4,4]"
+                )
+            continue
+        tmpl = np.asarray(tmpl)
+        if saved[i].shape != tmpl.shape or saved[i].dtype != tmpl.dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} ({jax.tree_util.keystr(kp)}): saved "
+                f"{saved[i].shape}/{saved[i].dtype} vs engine "
+                f"{tmpl.shape}/{tmpl.dtype} — construct the engine with "
+                "the same parameters (e.g. map_capacity) as when saving"
+            )
     restored = jax.tree_util.tree_unflatten(treedef, saved)
     odom.T_world = jax.numpy.asarray(restored["T_world"])
     odom.traj = [p for p in restored["traj"]]

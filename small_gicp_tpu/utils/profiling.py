@@ -32,7 +32,7 @@ from small_gicp_tpu.utils.benchmark import Summarizer
 
 
 def enable_compilation_cache(
-    cache_dir: str = "/root/repo/.jax_cache",
+    cache_dir: str = None,
     min_compile_secs: float = 0.5,
 ) -> None:
     """Turn on JAX's persistent compilation cache.
@@ -41,9 +41,19 @@ def enable_compilation_cache(
     processes, so repeated benchmark/driver invocations pay the (tunnel-
     dependent, sometimes minutes-long) XLA compile exactly once. Call
     before the first jit execution; safe to call repeatedly.
+
+    cache_dir defaults to SGT_JAX_CACHE_DIR if set, else `.jax_cache`
+    next to the package checkout (NOT a hardcoded absolute path — the
+    cache must follow the checkout it belongs to).
     """
     import os
 
+    if cache_dir is None:
+        cache_dir = os.environ.get("SGT_JAX_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(

