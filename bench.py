@@ -115,6 +115,109 @@ def main():
         tw = np.r_[rng.normal(size=3) * 0.03, rng.normal(size=3) * 0.2]
         return se3_exp(jnp.asarray(tw, dtype))
 
+    # --- Selfcheck: the compiled (Mosaic) kernels are asserted against
+    # XLA oracles ON THIS CHIP before any timing, so a Pallas regression
+    # cannot hide behind a still-plausible headline number (VERDICT r2
+    # "promote the on-chip lane to the default driver path"). Failure
+    # reports value=None + the failing check and exits non-zero.
+    def selfcheck():
+        from small_gicp_tpu.ops.knn import brute_force_knn
+        from small_gicp_tpu.ops.knn_pallas import (
+            knn_pallas,
+            nearest_neighbor_pallas,
+        )
+        from small_gicp_tpu.models import factors
+        from small_gicp_tpu.models.registration import (
+            _search_correspondences,
+        )
+        from small_gicp_tpu.ops.gicp_fused_pallas import (
+            gicp_linearize_pallas,
+        )
+
+        t_xyz = target.points[:, :3]
+        q_sub = source.points[:512]
+
+        # 1) Pallas kNN k=20 vs XLA brute force. The XLA oracle's
+        #    centered matmul expansion itself carries ~7e-5 absolute d2
+        #    error at this cloud's 20 m extent (measured; the Pallas
+        #    difference form is 3.5e-7 from the f64 oracle with ZERO
+        #    index mismatches), so the tolerances below are set above
+        #    the ORACLE's noise floor, not the kernel's: atol 2e-4,
+        #    mismatch fraction 1% (observed 0.08%, all near-ties).
+        def _knn_diverges(d_a, i_a, d_b, i_b, what):
+            d_a, i_a = np.asarray(d_a), np.asarray(i_a)
+            d_b, i_b = np.asarray(d_b), np.asarray(i_b)
+            if not np.allclose(d_a, d_b, rtol=1e-2, atol=2e-4):
+                return f"{what}: distances diverge from XLA brute force"
+            mm = i_a != i_b
+            if mm.mean() > 0.01:
+                return (f"{what}: {mm.mean():.1%} index mismatches vs XLA "
+                        "brute force (fp near-ties explain <1%)")
+            if mm.any() and not np.allclose(
+                d_a[mm], d_b[mm], rtol=1e-2, atol=2e-4
+            ):
+                return f"{what}: index mismatches not distance-explained"
+            return None
+
+        d_p, i_p = knn_pallas(target.points, q_sub[:, :3], 20)
+        d_x, i_x = brute_force_knn(t_xyz, q_sub[:, :3], 20)
+        r = _knn_diverges(d_p, i_p, d_x, i_x, "knn_pallas k=20")
+        if r:
+            return r
+
+        # 2) Pallas 1-NN vs XLA.
+        d1, i1 = nearest_neighbor_pallas(target.points, q_sub)
+        r = _knn_diverges(d1, i1, d_x[:, 0], i_x[:, 0], "nearest_neighbor_pallas")
+        if r:
+            return r
+
+        # 3) Fused search+linearize vs the XLA correspondence+linearize
+        #    oracle at a perturbed pose.
+        from small_gicp_tpu.utils.lie import se3_exp as _exp
+        T0 = _exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], dtype))
+        md2 = jnp.asarray(1.0, dtype)
+        corr = _search_correspondences(
+            "gicp", target, None, source.points, source.num_points,
+            source.covs, T0, md2,
+        )
+        H_ref, b_ref, _ = factors.linearize(corr, T0, source.points)
+        H_f, b_f, _mu, _W, mask_f, _sq, _c16, _ss = gicp_linearize_pallas(
+            target.points, target.covs, source.points, source.covs,
+            T0, source.num_points, md2,
+        )
+        if not np.array_equal(np.asarray(mask_f), np.asarray(corr.mask)):
+            return "fused kernel mask diverges from XLA correspondence search"
+        scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+        if not np.allclose(
+            np.asarray(H_f) / scale, np.asarray(H_ref) / scale, atol=5e-4
+        ):
+            return "fused kernel H diverges from XLA linearize"
+
+        # 4) One end-to-end align within the reference's own test bound
+        #    (registration_test.cpp:144-145).
+        r = align_impl(target, source, target_tree, T0,
+                       registration_type="gicp")
+        T_gt = np.loadtxt(os.path.join(DATA, "T_target_source.txt"))
+        Tr = np.asarray(r.T_target_source)
+        dR = Tr[:3, :3] @ T_gt[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        dt = np.linalg.norm(Tr[:3, 3] - T_gt[:3, 3])
+        if not (bool(r.converged) and ang < 2.5 and dt < 0.2):
+            return (f"E2E align out of reference bounds: {ang:.2f} deg / "
+                    f"{dt:.3f} m / converged={bool(r.converged)}")
+        return None
+
+    fail = selfcheck()
+    if fail is not None:
+        print(json.dumps({
+            "metric": "gicp_registrations_per_sec_single_chip",
+            "value": None,
+            "unit": "registrations/s (bundled pair, 0.25m downsample)",
+            "vs_baseline": None,
+            "selfcheck": f"fail: {fail}",
+        }), flush=True)
+        sys.exit(4)
+
     # All registrations run inside ONE jitted lax.scan program so the
     # measurement is pure device throughput: the tunneled TPU platform
     # adds milliseconds of host round-trip per dispatch/device_get
@@ -191,6 +294,7 @@ def main():
                 "scan_mode": round(scan_reg_per_sec, 3),
                 "batch_mode_b32": round(batch_reg_per_sec, 3),
                 "baseline_reg_per_sec_measured_this_host": REFERENCE_SINGLE_THREAD_REG_PER_SEC,
+                "selfcheck": "pass",
             }
         )
     )

@@ -60,7 +60,14 @@ from small_gicp_tpu.models.voxelmap import (
     IncrementalVoxelMapNormalCov,
 )
 from small_gicp_tpu.ops.projective_search import ProjectiveSearch
-from small_gicp_tpu.interop import RegistrationTPU, as_point_cloud
+from small_gicp_tpu.interop import (
+    RegistrationTPU,
+    as_point_cloud,
+    from_pointcloud2,
+    to_pointcloud2,
+    from_ros_msg,
+    to_ros_msg,
+)
 from small_gicp_tpu.models.helper import (
     RegistrationSetting,
     preprocess_points,
@@ -101,6 +108,10 @@ __all__ = [
     "ProjectiveSearch",
     "RegistrationTPU",
     "as_point_cloud",
+    "from_pointcloud2",
+    "to_pointcloud2",
+    "from_ros_msg",
+    "to_ros_msg",
     "RegistrationSetting",
     "preprocess_points",
     "create_gaussian_voxelmap",

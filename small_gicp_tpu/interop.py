@@ -240,6 +240,89 @@ def to_pointcloud2(cloud: PointCloud) -> dict:
     }
 
 
+def from_ros_msg(msg, capacity: Optional[int] = None) -> PointCloud:
+    """sensor_msgs/PointCloud2 message instance → PointCloud.
+
+    Duck-typed over the attributes ROS1 and ROS2 share (`fields` with
+    name/offset entries, `data`, `point_step`), so the SAME function
+    accepts either generation's message class — the capability of the
+    reference's ros1.hpp/ros2.hpp pair (ros/ros_impl.hpp:45-120) without
+    importing any ROS distribution. NaN points are skipped, like the
+    reference.
+    """
+    offsets = {f.name: f.offset for f in msg.fields}
+    for req in ("x", "y", "z"):
+        if req not in offsets:
+            raise ValueError(
+                f"PointCloud2 message lacks field {req!r}; "
+                f"have {sorted(offsets)}"
+            )
+    return from_pointcloud2(
+        offsets, bytes(msg.data), int(msg.point_step), capacity=capacity
+    )
+
+
+def to_ros_msg(cloud: PointCloud, msg=None, frame_id: str = "map"):
+    """PointCloud → sensor_msgs/PointCloud2 (reference:
+    ros/ros_impl.hpp:123-171; xyz always, normals when present).
+
+    Pass a freshly constructed ROS1 or ROS2 PointCloud2 instance as
+    `msg` to fill it in place (the PointField class is resolved from the
+    message's own module, so both generations work); with msg=None a
+    duck-typed SimpleNamespace with the same attribute layout is
+    returned — enough for from_ros_msg round-trips and for tests
+    without a ROS installation.
+    """
+    import types
+
+    xyz = cloud.points_numpy()[:, :3].astype(np.float32)
+    names = ["x", "y", "z"]
+    cols = [xyz]
+    if cloud.normals is not None:
+        nrm = np.asarray(cloud.normals)[: len(cloud), :3].astype(np.float32)
+        names += ["normal_x", "normal_y", "normal_z"]
+        cols.append(nrm)
+    packed = np.concatenate(cols, axis=1)
+    point_step = 4 * packed.shape[1]
+
+    field_cls = None
+    if msg is not None:
+        import sys as _sys
+
+        mod = _sys.modules.get(type(msg).__module__)
+        pkg = getattr(mod, "__package__", None) or ""
+        try:  # sensor_msgs.msg.PointField lives next to PointCloud2
+            import importlib
+
+            field_cls = getattr(importlib.import_module(pkg), "PointField")
+        except Exception:
+            field_cls = None
+
+    def make_field(name, offset):
+        if field_cls is not None:
+            f = field_cls()
+            f.name, f.offset, f.datatype, f.count = name, offset, 7, 1
+            return f
+        return types.SimpleNamespace(
+            name=name, offset=offset, datatype=7, count=1  # FLOAT32
+        )
+
+    out = msg if msg is not None else types.SimpleNamespace()
+    out.height = 1
+    out.width = packed.shape[0]
+    out.fields = [make_field(n, 4 * i) for i, n in enumerate(names)]
+    out.is_bigendian = False
+    out.point_step = point_step
+    out.row_step = point_step * packed.shape[0]
+    out.data = packed.tobytes()
+    out.is_dense = True
+    if hasattr(out, "header") and hasattr(out.header, "frame_id"):
+        out.header.frame_id = frame_id
+    elif msg is None:
+        out.header = types.SimpleNamespace(frame_id=frame_id)
+    return out
+
+
 def to_torch(cloud: PointCloud):
     """PointCloud xyz -> torch tensor (cpu)."""
     import torch

@@ -279,18 +279,35 @@ def align_impl(
         and jax.default_backend() == "tpu"
     )
 
+    if fused_ok:
+        # Morton-presort both clouds ONCE, structurally outside the
+        # optimizer loop, so the fused kernel's bbox tile pruning fires
+        # without per-iteration sorts (ops/gicp_fused_pallas.py). The
+        # optimizer only consumes permutation-invariant quantities (H,
+        # b, error, mask SUM), so sorted order is free; the sorted
+        # source keeps its valid-prefix, so num_points masking holds.
+        from small_gicp_tpu.ops.gicp_fused_pallas import morton_presort
+
+        tp_s, tcov_s, sp_s, scov_s = morton_presort(
+            target.points, target.covs, source.points, source.covs,
+            source.num_points,
+        )
+        target = target.replace(points=tp_s, covs=tcov_s, normals=None)
+        source = source.replace(points=sp_s, covs=scov_s, normals=None)
+
     def search_linearize(T):
-        """One optimizer linearization: (corr, H, b, e, corr16) at T;
-        corr16 is the fused path's raw lane-major buffer (None on the
-        XLA path)."""
+        """One optimizer linearization: (corr, H, b, e, fused_buf) at T;
+        fused_buf is the fused path's (corr16, sorted_source) pair — the
+        raw lane-major correspondence buffer and the Morton-sorted
+        source rows it is aligned with (None on the XLA path)."""
         if fused_ok:
             from small_gicp_tpu.ops.gicp_fused_pallas import (
                 gicp_linearize_pallas,
             )
 
-            H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+            H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
                 target.points, target.covs, source.points, source.covs,
-                T, source.num_points, max_dist_sq,
+                T, source.num_points, max_dist_sq, sort=False,
             )
             corr = Correspondences(
                 target_mu=mu, W=W, mask=mask,
@@ -300,7 +317,7 @@ def align_impl(
             # the batched trial evaluation (one fused kernel over K+1
             # poses), saving a whole error pass per iteration; the GN
             # body computes it explicitly.
-            return corr, _dof(H), b, None, corr16
+            return corr, _dof(H), b, None, (corr16, sorted_src)
         corr = search(T)
         H, b, e = factors.linearize(
             corr, T, source.points, robust_kernel, robust_c
@@ -383,7 +400,7 @@ def align_impl(
 
         def body(s: _OptState) -> _OptState:
             active = (~s.converged) & (~s.failed) & (s.i < max_iterations)
-            corr, H, b, e0, corr16 = search_linearize(s.T)
+            corr, H, b, e0, fused_buf = search_linearize(s.T)
 
             # Inner lambda trials (optimizer.hpp:107-134), BATCHED: the
             # reference tries lambdas sequentially, but trial j's lambda
@@ -402,14 +419,17 @@ def align_impl(
             if e0 is None:
                 # Fused path: current-pose error rides in the same
                 # batched kernel as the K trials (one pallas_call, same
-                # precision on both sides of the accept test).
+                # precision on both sides of the accept test). corr16 is
+                # in Morton-sorted order; pair it with the sorted source
+                # rows it was produced from.
                 from small_gicp_tpu.ops.gicp_fused_pallas import (
                     gicp_error_multi_pallas,
                 )
 
+                corr16, sorted_src = fused_buf
                 errs_all = gicp_error_multi_pallas(
                     corr16,
-                    source.points,
+                    sorted_src,
                     jnp.concatenate([s.T[None], Ts], axis=0),
                     source.num_points,
                 )

@@ -54,28 +54,38 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38
 
 
-def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
+def _fused_kernel(
+    nt_ref, tb_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay, qbb
+):
     """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq | pad]
     (2-D so the auto-batching rule's squeezed leading block dim keeps the
     last two block dims equal to the array dims — vmap adds a leading
     grid axis and this kernel batches as-is);
+    tb_ref: SMEM [1, n_mtiles*8] per-target-tile bboxes
+    [xlo ylo zlo xhi yhi zhi pad pad] over the tile's FINITE rows;
     t_ref: VMEM [BM, 16] target tile (cols 0-2 xyz, 3-11 cov row-major);
     q_ref: VMEM [16, BQ] source block (rows 0-2 p, 3-11 C_s, 12
     row-valid); corr_ref: [16, BQ] out; acc_ref: [8, 128] out;
-    best_d/best_pay: VMEM scratch [8, BQ] (row 0 used) / [16, BQ]."""
+    best_d/best_pay: VMEM scratch [8, BQ] (row 0 used) / [16, BQ];
+    qbb: SMEM scratch [8] — the query block's transformed bbox.
+
+    Tile pruning: a [BM, BQ] tile whose target bbox is farther than
+    max_dist from the query block's bbox cannot produce an ACCEPTED
+    correspondence (the rejector masks everything beyond max_dist —
+    rejector.hpp:19-28), so its distance scan is skipped entirely. With
+    both clouds Morton-sorted (wrapper), blocks are spatially compact
+    and most (query, target) tile pairs prune. Exact within the rejector
+    radius: a pruned tile's points would all have been masked out.
+    """
     mi = pl.program_id(1)
     n_mi = pl.num_programs(1)
+    bq = q_ref.shape[1]
 
     r00, r01, r02 = nt_ref[0, 0], nt_ref[0, 1], nt_ref[0, 2]
     r10, r11, r12 = nt_ref[0, 3], nt_ref[0, 4], nt_ref[0, 5]
     r20, r21, r22 = nt_ref[0, 6], nt_ref[0, 7], nt_ref[0, 8]
     tx, ty, tz = nt_ref[0, 9], nt_ref[0, 10], nt_ref[0, 11]
     max_d2 = nt_ref[0, 12]
-
-    @pl.when(mi == 0)
-    def _():
-        best_d[:] = jnp.full_like(best_d, _BIG)
-        best_pay[:] = jnp.zeros_like(best_pay)
 
     px = q_ref[0:1, :]
     py = q_ref[1:2, :]
@@ -85,31 +95,68 @@ def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
     qy = r10 * px + r11 * py + r12 * pz + ty
     qz = r20 * px + r21 * py + r22 * pz + tz
 
-    dx = qx - t_ref[:, 0:1]  # [BM, BQ]
-    dy = qy - t_ref[:, 1:2]
-    dz = qz - t_ref[:, 2:3]
-    d2 = dx * dx + dy * dy + dz * dz  # [BM, BQ]
+    @pl.when(mi == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, _BIG)
+        best_pay[:] = jnp.zeros_like(best_pay)
+        # Transformed bbox over VALID lanes only (invalid/padding lanes
+        # carry sentinel coords that would blow the box up and kill
+        # pruning; they can never be inliers). All-invalid block =>
+        # inverted box => every tile prunes; the final write still runs
+        # and masks everything out.
+        val = q_ref[12:13, :] > 0.5
+        qbb[0] = jnp.min(jnp.where(val, qx, _BIG))
+        qbb[1] = jnp.min(jnp.where(val, qy, _BIG))
+        qbb[2] = jnp.min(jnp.where(val, qz, _BIG))
+        qbb[3] = jnp.max(jnp.where(val, qx, -_BIG))
+        qbb[4] = jnp.max(jnp.where(val, qy, -_BIG))
+        qbb[5] = jnp.max(jnp.where(val, qz, -_BIG))
 
-    bm, bq = d2.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (bm, bq), 0)
-    tile_min = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
-    tile_row = jnp.min(
-        jnp.where(d2 <= tile_min, row, jnp.int32(2**30)), axis=0, keepdims=True
+    o = mi * 8
+    zero = jnp.float32(0.0)
+    gx = jnp.maximum(
+        zero, jnp.maximum(tb_ref[0, o + 0] - qbb[3], qbb[0] - tb_ref[0, o + 3])
     )
-    better = tile_min < best_d[0:1, :]
-    # winner payload column via one-hot matmul (the TPU's gather)
-    onehot = (row == tile_row).astype(jnp.float32)  # [BM, BQ]
-    pay = jax.lax.dot_general(
-        t_ref[:], onehot, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # Explicit: a one-pass bf16 dot would quantize the payload rows
-        # (target means/covs) to 8-bit mantissa even though the one-hot
-        # side is exact — don't depend on the package-level global
-        # (__init__.py:24-32) surviving an embedding app's override.
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [16, BQ]
-    best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
-    best_pay[:] = jnp.where(better, pay, best_pay[:])
+    gy = jnp.maximum(
+        zero, jnp.maximum(tb_ref[0, o + 1] - qbb[4], qbb[1] - tb_ref[0, o + 4])
+    )
+    gz = jnp.maximum(
+        zero, jnp.maximum(tb_ref[0, o + 2] - qbb[5], qbb[2] - tb_ref[0, o + 5])
+    )
+    gap2 = gx * gx + gy * gy + gz * gz
+    # NaN-safe: only prune on a definite "too far" (comparisons with NaN
+    # are False, so a NaN gap keeps the tile).
+    live = ~(gap2 > max_d2)
+
+    @pl.when(live)
+    def _():
+        dx = qx - t_ref[:, 0:1]  # [BM, BQ]
+        dy = qy - t_ref[:, 1:2]
+        dz = qz - t_ref[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz  # [BM, BQ]
+
+        bm, bq = d2.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (bm, bq), 0)
+        tile_min = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
+        tile_row = jnp.min(
+            jnp.where(d2 <= tile_min, row, jnp.int32(2**30)),
+            axis=0, keepdims=True,
+        )
+        better = tile_min < best_d[0:1, :]
+        # winner payload column via one-hot matmul (the TPU's gather)
+        onehot = (row == tile_row).astype(jnp.float32)  # [BM, BQ]
+        pay = jax.lax.dot_general(
+            t_ref[:], onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # Explicit: a one-pass bf16 dot would quantize the payload
+            # rows (target means/covs) to 8-bit mantissa even though the
+            # one-hot side is exact — don't depend on the package-level
+            # global (__init__.py:24-32) surviving an embedding app's
+            # override.
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [16, BQ]
+        best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
+        best_pay[:] = jnp.where(better, pay, best_pay[:])
 
     @pl.when(mi == n_mi - 1)
     def _():
@@ -241,7 +288,55 @@ def _fused_kernel(nt_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay):
         corr_ref[:] = corr
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret"))
+@jax.jit
+def morton_presort(
+    target_points: jax.Array,  # [M,4]
+    target_covs: jax.Array,  # [M,3,3]
+    source_points: jax.Array,  # [N,4]
+    source_covs: jax.Array,  # [N,3,3]
+    num_points: jax.Array,  # scalar int32 (valid source rows)
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Morton-sort both clouds ONCE for the fused kernel's tile pruning.
+
+    Callers running the kernel in an optimizer loop use this before the
+    loop and pass sort=False to gicp_linearize_pallas, so the sorts are
+    structurally outside the loop (no reliance on XLA hoisting). The
+    sorted source keeps its valid-rows-first prefix (invalid/padding →
+    max code — morton_codes32), so num_points masking stays correct; H,
+    b, error, and the inlier count are permutation-invariant, which is
+    all the optimizer consumes.
+    """
+    from small_gicp_tpu.ops.knn_window import morton_codes32
+
+    m = target_points.shape[0]
+    n = source_points.shape[0]
+    txyz = jnp.clip(target_points[:, :3].astype(jnp.float32), -1e12, 1e12)
+    # Anchor the code space at the cloud's own min corner: a cloud
+    # straddling the default origin would sit ON the top-level Morton
+    # quadrant boundary and lose all block compactness (see
+    # morton_codes32). Sentinel rows (~1e12) are excluded from the min.
+    t_finite = jnp.all(jnp.abs(txyz) < 1.0e8, axis=-1, keepdims=True)
+    t_origin = jnp.min(jnp.where(t_finite, txyz, jnp.inf), axis=0)
+    t_origin = jnp.where(jnp.isfinite(t_origin), t_origin, 0.0)
+    tcode = morton_codes32(txyz, 1.0, origin=t_origin)
+    _, tperm = jax.lax.sort((tcode, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    valid = jnp.arange(n) < num_points
+    sxyz = jnp.where(
+        valid[:, None], source_points[:, :3].astype(jnp.float32), jnp.inf
+    )
+    s_origin = jnp.min(jnp.where(jnp.isfinite(sxyz), sxyz, jnp.inf), axis=0)
+    s_origin = jnp.where(jnp.isfinite(s_origin), s_origin, 0.0)
+    scode = morton_codes32(sxyz, 1.0, origin=s_origin)
+    _, sperm = jax.lax.sort((scode, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    return (
+        target_points[tperm],
+        target_covs[tperm],
+        source_points[sperm],
+        source_covs[sperm],
+    )
+
+
+@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "sort"))
 def gicp_linearize_pallas(
     target_points: jax.Array,  # [M,4]
     target_covs: jax.Array,  # [M,3,3]
@@ -253,14 +348,23 @@ def gicp_linearize_pallas(
     block_q: int = 512,
     block_m: int = 1024,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    sort: bool = True,
+) -> Tuple[jax.Array, ...]:
     """Fused GICP search+linearize.
 
     Returns (H [6,6], b [6], target_mu [N,3], W [N,3,3], mask [N] bool,
-    sq_dists [N], corr16 [16,QP] raw lane-major correspondence buffer for
-    gicp_error_multi_pallas) — H/b identical (to f32 reduction order) to
+    sq_dists [N], corr16 [16,QP] raw lane-major correspondence buffer
+    for gicp_error_multi_pallas, sorted_source [QP,4] the Morton-sorted
+    padded source points corr16 is aligned with) — H/b match
     factors.linearize over the correspondences that
-    _search_correspondences would produce with an exact NN.
+    _search_correspondences would produce with an exact NN (up to f32
+    reduction order). mu/W/mask/sq are in ORIGINAL source row order.
+
+    sort=True Morton-sorts both clouds so the kernel's bbox tile
+    pruning fires (spatially compact blocks); the sorts depend only on
+    loop-invariant cloud data, so XLA hoists them out of the optimizer's
+    while loop — per-iteration cost is the kernel alone. Pruning is
+    exact within the rejector radius (see _fused_kernel docstring).
     """
     m = target_points.shape[0]
     n = source_points.shape[0]
@@ -271,6 +375,44 @@ def gicp_linearize_pallas(
     mp = (m + block_m - 1) // block_m * block_m
     qp = (n + block_q - 1) // block_q * block_q
 
+    valid = (jnp.arange(n, dtype=jnp.int32) < num_points).astype(jnp.float32)
+    sperm = jnp.arange(n, dtype=jnp.int32)
+    if sort:
+        from small_gicp_tpu.ops.knn_window import morton_codes32
+
+        # Cell size ~ the rejector radius: block extents then sit at the
+        # pruning length scale. Sentinel/invalid coords map to the max
+        # code and sort last (their tiles carry inverted bboxes). Codes
+        # are anchored at each cloud's min corner (see morton_codes32 on
+        # why straddling the default origin destroys compactness).
+        # NOTE: callers inside an optimizer loop should pre-sort ONCE
+        # and pass sort=False — these sorts depend only on the clouds,
+        # but relying on XLA's loop-invariant code motion to hoist them
+        # out of a while loop is not a given (align_impl pre-sorts).
+        t_finite = jnp.all(jnp.abs(tc) < 1.0e8, axis=-1, keepdims=True)
+        t_origin = jnp.min(jnp.where(t_finite, tc, jnp.inf), axis=0)
+        t_origin = jnp.where(jnp.isfinite(t_origin), t_origin, 0.0)
+        tcode = morton_codes32(tc, 1.0, origin=t_origin)
+        _, tperm = jax.lax.sort(
+            (tcode, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+        )
+        tc = tc[tperm]
+        target_covs = target_covs[tperm]
+        sxyz = jnp.where(
+            valid[:, None] > 0.5,
+            source_points[:, :3].astype(jnp.float32),
+            jnp.inf,
+        )
+        s_origin = jnp.min(jnp.where(jnp.isfinite(sxyz), sxyz, jnp.inf), axis=0)
+        s_origin = jnp.where(jnp.isfinite(s_origin), s_origin, 0.0)
+        scode = morton_codes32(sxyz, 1.0, origin=s_origin)
+        _, sperm = jax.lax.sort(
+            (scode, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        source_points = source_points[sperm]
+        source_covs = source_covs[sperm]
+        valid = valid[sperm]
+
     ttab = jnp.concatenate(
         [tc, target_covs.reshape(m, 9).astype(jnp.float32),
          jnp.zeros((m, 4), jnp.float32)],
@@ -280,7 +422,18 @@ def gicp_linearize_pallas(
         padrow = jnp.zeros((mp - m, 16), jnp.float32).at[:, :3].set(1.0e12)
         ttab = jnp.concatenate([ttab, padrow], axis=0)
 
-    valid = (jnp.arange(n, dtype=jnp.int32) < num_points).astype(jnp.float32)
+    # Per-target-tile bboxes over finite rows (sentinel rows excluded —
+    # they can never be accepted correspondences, so a tile of them may
+    # prune).
+    n_mt = mp // block_m
+    tcoord = ttab[:, :3].reshape(n_mt, block_m, 3)
+    finite = jnp.all(jnp.abs(tcoord) < 1.0e8, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(finite, tcoord, _BIG), axis=1)  # [n_mt,3]
+    hi = jnp.max(jnp.where(finite, tcoord, -_BIG), axis=1)
+    tb = jnp.concatenate(
+        [lo, hi, jnp.zeros((n_mt, 2), jnp.float32)], axis=1
+    ).reshape(1, n_mt * 8)
+
     qtab = jnp.concatenate(
         [
             source_points[:, :3].astype(jnp.float32),
@@ -311,6 +464,7 @@ def gicp_linearize_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (block_m, 16), lambda qi, mi: (mi, 0),
                     memory_space=pltpu.VMEM,
@@ -336,21 +490,32 @@ def gicp_linearize_pallas(
             scratch_shapes=[
                 pltpu.VMEM((8, block_q), jnp.float32),
                 pltpu.VMEM((16, block_q), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
             ],
             interpret=interpret,
-        )(nt, ttab, qtab)
+        )(nt, tb, ttab, qtab)
 
     dtype = source_points.dtype
     sums = jnp.sum(acc, axis=0) / 8.0  # 8 replicated rows per block
     H = sums[:36].reshape(6, 6).astype(dtype)
     b = sums[36:42].astype(dtype)
     corr16 = corr
-    corr = corr[:, :n].T  # [N, 16]
+    sorted_src = source_points
+    if qp != n:
+        sorted_src = jnp.concatenate(
+            [sorted_src, jnp.zeros((qp - n, 4), sorted_src.dtype)], axis=0
+        )
+    corr = corr[:, :n].T  # [N, 16] in sorted order
+    if sort:
+        inv = jnp.zeros((n,), jnp.int32).at[sperm].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        corr = corr[inv]  # back to original source row order
     mu = corr[:, 0:3].astype(dtype)
     W = corr[:, 3:12].reshape(n, 3, 3).astype(dtype)
     mask = corr[:, 12] > 0.5
     sq = corr[:, 13].astype(dtype)
-    return H, b, mu, W, mask, sq, corr16
+    return H, b, mu, W, mask, sq, corr16, sorted_src
 
 
 def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):

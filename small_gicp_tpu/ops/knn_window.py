@@ -83,6 +83,48 @@ def morton_codes(points_xyz: jax.Array, cell) -> jax.Array:
     return jnp.where(in_range, code, jnp.iinfo(jnp.int64).max)
 
 
+def _dilate10_32(x: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of int32 x to every 3rd bit (z-order)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_codes32(points_xyz: jax.Array, cell, origin=None) -> jax.Array:
+    """[N,3] float coords → [N] int32 Morton codes at `cell` resolution.
+
+    x64-free variant of `morton_codes` for consumers that must run with
+    jax_enable_x64 off (the fused registration kernel's pre-sort): 10
+    bits/axis. `origin` anchors cell 0 — pass the cloud's min corner so
+    the code space is used from 0 upward; the default origin −512·cell
+    puts the TOP-LEVEL Morton quadrant boundary at coordinate 0, and a
+    cloud straddling it gets giant curve jumps through its middle
+    (which destroys the spatial compactness of sorted blocks — the
+    whole point of the sort). Coordinates outside the 1024-cell range
+    CLAMP to the boundary cell (coarse but still sorted near their side
+    of the cloud); only non-finite rows get the max code (sort last).
+    The clamp preserves the valid-rows-first prefix for every real
+    point, which the fused wrapper's validity masking relies on.
+    """
+    inv = jnp.asarray(1.0, points_xyz.dtype) / cell
+    if origin is None:
+        rel = points_xyz * inv + 512.0
+    else:
+        rel = (points_xyz - origin) * inv
+    c = jnp.floor(rel)
+    finite = jnp.all(jnp.isfinite(c), axis=-1)
+    ci = jnp.clip(jnp.where(jnp.isfinite(c), c, 0.0).astype(jnp.int32), 0, 1023)
+    code = (
+        (_dilate10_32(ci[..., 2]) << 2)
+        | (_dilate10_32(ci[..., 1]) << 1)
+        | _dilate10_32(ci[..., 0])
+    )
+    return jnp.where(finite, code, jnp.iinfo(jnp.int32).max)
+
+
 @partial(jax.jit, static_argnames=("k", "window", "shifts"))
 def knn_windowed(
     points: jax.Array,

@@ -126,6 +126,17 @@ def read_kitti_bin(path: str) -> np.ndarray:
     return raw[:, :3].copy()
 
 
+def write_kitti_bin(path: str, points_xyz: np.ndarray) -> None:
+    """Write a KITTI velodyne scan: [N,3] xyz → float32 x,y,z,intensity
+    rows (intensity 0) — the inverse of read_kitti_bin, used to dump
+    synthetic sequences into the same on-disk format the reference's
+    KittiDataset consumes (benchmark/benchmark.hpp:96-144)."""
+    pts = np.asarray(points_xyz, np.float32)
+    raw = np.zeros((pts.shape[0], 4), np.float32)
+    raw[:, :3] = pts[:, :3]
+    raw.tofile(path)
+
+
 def list_kitti_scans(directory: str):
     """Sorted list of *.bin scan paths (reference: benchmark.hpp:98-110)."""
     names = sorted(n for n in os.listdir(directory) if n.endswith(".bin"))

@@ -65,6 +65,12 @@ def pytest_configure(config):
         "tpu: runs compiled (non-interpreted) kernels on the real TPU chip; "
         "opt-in via SGT_TPU_TESTS=1 pytest -m tpu",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast correctness tier (<60 s total on a laptop-class CPU); "
+        "run on every push via `pytest -m smoke` — the full suite runs "
+        "nightly (.github/workflows/test.yml)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

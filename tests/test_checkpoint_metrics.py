@@ -39,6 +39,7 @@ def _frames(n_frames, seed=3):
     ]
 
 
+@pytest.mark.smoke
 def test_pytree_roundtrip(tmp_path, rng):
     vm = GaussianVoxelMap.empty(1.0, capacity=128)
     path = str(tmp_path / "vm.npz")
@@ -69,6 +70,7 @@ def test_odometry_resume_matches_continuous(tmp_path):
     )
 
 
+@pytest.mark.smoke
 def test_metrics(tmp_path, rng):
     # Ground truth: a curve; estimate: GT transformed rigidly + noise.
     t = np.linspace(0, 10, 200)
@@ -98,6 +100,7 @@ def test_metrics(tmp_path, rng):
     np.testing.assert_allclose(back, gt, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_umeyama_exact(rng):
     src = rng.normal(size=(50, 3))
     R = np.linalg.qr(rng.normal(size=(3, 3)))[0]

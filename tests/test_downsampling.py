@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.ops.downsampling import random_sampling, voxelgrid_sampling
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def oracle_voxelgrid(points, leaf):

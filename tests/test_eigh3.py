@@ -4,6 +4,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from small_gicp_tpu.ops.eigh3 import eigh3x3, inv3x3, solve6x6
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _random_sym(rng, n, scale=1.0):

@@ -52,6 +52,7 @@ def test_per_point_sums_match_registration(small_pair, cls):
     assert abs(n_here - n_res) <= max(5, 0.01 * n_res)
 
 
+@pytest.mark.smoke
 def test_per_point_matches_total(small_pair):
     target, tree, source = small_pair
     T = jnp.eye(4, dtype=source.points.dtype)

@@ -2,6 +2,7 @@
 (interpreter mode; the compiled kernel is covered by the tpu lane)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _pair(rng, n=700, m=900):
     return target, source
 
 
+@pytest.mark.smoke
 def test_fused_matches_xla_linearize(rng):
     target, source = _pair(rng)
     T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
@@ -35,7 +37,7 @@ def test_fused_matches_xla_linearize(rng):
     )
     H_ref, b_ref, e_ref = factors.linearize(corr, T, source.points)
 
-    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
         target.points, target.covs, source.points, source.covs,
         T, source.num_points, max_d2, interpret=True,
     )
@@ -66,7 +68,7 @@ def test_fused_handles_padding_and_empty(rng):
     # mark most source rows invalid
     source = source.replace(num_points=jnp.asarray(37, jnp.int32))
     T = jnp.eye(4, dtype=jnp.float32)
-    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
         target.points, target.covs, source.points, source.covs,
         T, source.num_points, jnp.asarray(1.0, jnp.float32), interpret=True,
     )
@@ -74,7 +76,7 @@ def test_fused_handles_padding_and_empty(rng):
     assert np.isfinite(np.asarray(H)).all() and np.isfinite(np.asarray(b)).all()
 
     # fully empty source: zero system
-    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
         target.points, target.covs, source.points, source.covs,
         T, jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
         interpret=True,
@@ -88,7 +90,7 @@ def test_trials_kernel_matches_error_multi(rng):
 
     target, source = _pair(rng)
     T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
-    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
         target.points, target.covs, source.points, source.covs,
         T, source.num_points, jnp.asarray(1.0, jnp.float32), interpret=True,
     )
@@ -103,6 +105,6 @@ def test_trials_kernel_matches_error_multi(rng):
     ])
     ref = factors.error_multi(corr, Ts, source.points)
     got = gicp_error_multi_pallas(
-        corr16, source.points, Ts, source.num_points, interpret=True
+        corr16, sorted_src, Ts, source.num_points, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)

@@ -82,6 +82,7 @@ def test_knn_fewer_points_than_k(rng):
     assert np.all(d[:, 3:] > 1e16)
 
 
+@pytest.mark.smoke
 def test_single_query(rng):
     pts = rng.normal(size=(50, 3))
     tree = KdTree.build(PointCloud.from_points(pts))
@@ -90,6 +91,7 @@ def test_single_query(rng):
     assert float(d[0]) < 1e-12
 
 
+@pytest.mark.smoke
 def test_nearest_neighbor_matches_knn1(rng):
     pts = rng.normal(size=(300, 3))
     q = rng.normal(size=(100, 3))
@@ -110,6 +112,7 @@ def test_numpy_oracle_consistency(rng):
     assert np.array_equal(np.asarray(i), i_o)
 
 
+@pytest.mark.smoke
 def test_knn_sorted_ascending(rng):
     target = rng.normal(size=(500, 3))
     tree = KdTree.build(PointCloud.from_points(target))

@@ -40,6 +40,7 @@ def test_pallas_nn_matches_bruteforce(rng, n, q):
     np.testing.assert_allclose(np.asarray(d), d_ref[:, 0], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_pallas_nn_duplicate_points_tiebreak(rng):
     """Duplicated targets: first index wins, as with jnp.argmin."""
     base = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
@@ -88,6 +89,7 @@ def test_pallas_knn_matches_bruteforce(rng, k):
     np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_pallas_knn_duplicates_tie_order(rng):
     base = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
     tgt = np.concatenate([base, base], axis=0)  # duplicate at i and i+64

@@ -3,6 +3,9 @@ downstream covariance quality that odometry actually consumes."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from small_gicp_tpu.point_cloud import PointCloud
 from small_gicp_tpu.ops.knn import brute_force_knn_numpy

@@ -5,6 +5,9 @@ import scipy.linalg
 import jax.numpy as jnp
 
 from small_gicp_tpu.utils.lie import se3_exp, skew, so3_exp, so3_log, rotation_error_deg
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _se3_hat(twist):

@@ -4,6 +4,8 @@ plus the prefetching DatasetLoader's ordering/termination."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from small_gicp_tpu import native
 from small_gicp_tpu.utils.io import read_ply, write_ply
 

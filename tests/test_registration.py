@@ -99,6 +99,7 @@ def test_gicp_perturbed_and_inverse(preprocessed):
         _check(result_inv.T_target_source, np.linalg.inv(T_gt), f"gicp inv seed{i}")
 
 
+@pytest.mark.smoke
 def test_vgicp(preprocessed):
     target, _, source, _, T_gt = preprocessed
     voxelmap = sgt.create_gaussian_voxelmap(target, 1.0)

@@ -123,7 +123,7 @@ def test_fused_gicp_linearize_compiled(rng):
         source.covs, T, max_d2,
     )
     H_ref, b_ref, _ = factors.linearize(corr, T, source.points)
-    H, b, mu, W, mask, sq, corr16 = gicp_linearize_pallas(
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
         target.points, target.covs, source.points, source.covs,
         T, source.num_points, max_d2,
     )

@@ -19,6 +19,7 @@ semantics:
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from small_gicp_tpu.point_cloud import PointCloud
@@ -140,6 +141,7 @@ def test_ivm_batch_insert_divergence_bounded():
     assert set(_ivm_points_by_voxel(vm)) == set(oracle.points_by_voxel())
 
 
+@pytest.mark.smoke
 def test_ivm_lru_eviction_uses_preincrement_stamp():
     """Reference timing: a voxel stamped at insert #t (counter value t)
     is evicted at the first clear where t + horizon < counter, with the
