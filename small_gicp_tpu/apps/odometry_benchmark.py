@@ -40,6 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="only process the first N scans")
     p.add_argument("--max_scan_points", type=int, default=131072)
     p.add_argument("--max_downsampled", type=int, default=32768)
+    p.add_argument("--map_capacity", type=int, default=131072,
+                   help="model-map point capacity (model engines)")
+    p.add_argument("--num_offsets", type=int, default=1, choices=(1, 7, 27),
+                   help="model-map voxel search pattern (reference "
+                        "set_search_offsets default 1; 7 restores the "
+                        "full rejector-radius basin at 1 m voxels)")
+    p.add_argument("--predict_motion", action="store_true",
+                   help="constant-velocity initial guess (not in the "
+                        "reference)")
     return p
 
 
@@ -87,6 +96,9 @@ def main(argv=None) -> int:
         voxel_resolution=args.voxel_resolution,
         max_scan_points=args.max_scan_points,
         max_downsampled=args.max_downsampled,
+        map_capacity=args.map_capacity,
+        num_offsets=args.num_offsets,
+        predict_motion=args.predict_motion,
     )
     odom = create_odometry(args.engine, params)
 

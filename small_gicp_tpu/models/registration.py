@@ -202,6 +202,7 @@ def _converged(delta, rotation_eps, translation_eps):
         "max_inner_iterations",
         "verbose",
         "use_fused",
+        "psum_axis",
     ),
 )
 def align_impl(
@@ -225,6 +226,7 @@ def align_impl(
     dof_lambda: float = 1e9,
     verbose: bool = False,
     use_fused: str = "auto",
+    psum_axis: Optional[str] = None,
 ) -> RegistrationResult:
     """Jitted registration. See module docstring for semantics.
 
@@ -232,6 +234,14 @@ def align_impl(
     (iter / error / lambda / |dt| / |dr|, like optimizer.hpp:48-49 and
     :116-118) through jax.debug.print — it works inside the jitted loop
     and under the device tunnel, at the cost of host sync per line.
+
+    psum_axis: set by align_point_sharded's shard_map — the source point
+    axis is sharded across this mesh axis, and every reduced quantity
+    the optimizer consumes (H, b, e, trial errors, inlier count) is
+    psum'd over it, so all devices take identical optimizer decisions.
+    This is the explicit-collective form of the reference's per-thread
+    accumulator + join (reduction_omp.hpp:32-58): 43 floats + K trial
+    errors per iteration ride the interconnect, nothing else.
 
     use_fused: "auto" routes the plain-GICP / plain-cloud / f32 / TPU
     case through the single fused Pallas search+linearize kernel
@@ -276,58 +286,61 @@ def align_impl(
         and dtype == jnp.float32
         and target.covs is not None
         and source.covs is not None
+        and psum_axis is None
         and jax.default_backend() == "tpu"
     )
 
     if fused_ok:
-        # Morton-presort both clouds ONCE, structurally outside the
-        # optimizer loop, so the fused kernel's bbox tile pruning fires
-        # without per-iteration sorts (ops/gicp_fused_pallas.py). The
-        # optimizer only consumes permutation-invariant quantities (H,
-        # b, error, mask SUM), so sorted order is free; the sorted
-        # source keeps its valid-prefix, so num_points masking holds.
-        from small_gicp_tpu.ops.gicp_fused_pallas import morton_presort
+        # ONE-TIME preparation, structurally outside the optimizer loop:
+        # Morton sort + kernel tables + thin-tile bboxes
+        # (ops/gicp_fused_pallas.gicp_prepare). The optimizer only
+        # consumes permutation-invariant quantities (H, b, error, inlier
+        # COUNT), so sorted order is free, and no per-point
+        # post-processing runs inside the loop at all.
+        from small_gicp_tpu.ops.gicp_fused_pallas import (
+            gicp_linearize_tables,
+            gicp_prepare,
+        )
 
-        tp_s, tcov_s, sp_s, scov_s = morton_presort(
+        f_ttab, f_tb, f_qtab, f_src, _, f_ttab_T = gicp_prepare(
             target.points, target.covs, source.points, source.covs,
             source.num_points,
         )
-        target = target.replace(points=tp_s, covs=tcov_s, normals=None)
-        source = source.replace(points=sp_s, covs=scov_s, normals=None)
 
     def search_linearize(T):
-        """One optimizer linearization: (corr, H, b, e, fused_buf) at T;
-        fused_buf is the fused path's (corr16, sorted_source) pair — the
-        raw lane-major correspondence buffer and the Morton-sorted
-        source rows it is aligned with (None on the XLA path)."""
+        """One optimizer linearization at T:
+        (H, b, e, num_inliers, fused_buf). e is None on the fused path
+        (the LM body folds the current-pose error into the batched trial
+        kernel; the GN body evaluates it through the same kernel);
+        fused_buf is the (corr16, sorted_source) pair the trial-error
+        kernel consumes (None on the XLA path)."""
         if fused_ok:
-            from small_gicp_tpu.ops.gicp_fused_pallas import (
-                gicp_linearize_pallas,
+            H, b, inliers, corr16 = gicp_linearize_tables(
+                f_ttab, f_tb, f_qtab, T, max_dist_sq, f_ttab_T
             )
-
-            H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
-                target.points, target.covs, source.points, source.covs,
-                T, source.num_points, max_dist_sq, sort=False,
+            return (
+                _dof(H.astype(dtype)),
+                b.astype(dtype),
+                None,
+                inliers.astype(jnp.int32),
+                (corr16, f_src),
             )
-            corr = Correspondences(
-                target_mu=mu, W=W, mask=mask,
-                target_idx=jnp.zeros((source.points.shape[0],), jnp.int32),
-            )
-            # e is None: the LM body folds the current-pose error into
-            # the batched trial evaluation (one fused kernel over K+1
-            # poses), saving a whole error pass per iteration; the GN
-            # body computes it explicitly.
-            return corr, _dof(H), b, None, (corr16, sorted_src)
         corr = search(T)
         H, b, e = factors.linearize(
             corr, T, source.points, robust_kernel, robust_c
         )
-        return corr, _dof(H), b, e, None
+        inl = jnp.sum(corr.mask).astype(jnp.int32)
+        if psum_axis is not None:
+            H, b, e, inl = jax.lax.psum((H, b, e, inl), psum_axis)
+        return _dof(H), b, e, inl, (corr, None)
 
     def err_multi(corr, Ts):
-        return factors.error_multi(
+        errs = factors.error_multi(
             corr, Ts, source.points, robust_kernel, robust_c
         )
+        if psum_axis is not None:
+            errs = jax.lax.psum(errs, psum_axis)
+        return errs
 
     zero6 = jnp.zeros((6,), dtype)
     init_state = _OptState(
@@ -362,9 +375,19 @@ def align_impl(
 
         def body(s: _OptState) -> _OptState:
             active = (~s.converged) & (s.i < max_iterations)
-            corr, H, b, e, _corr16 = search_linearize(s.T)
+            H, b, e, inliers, fused_buf = search_linearize(s.T)
             if e is None:
-                e = factors.error(corr, s.T, source.points)
+                # Fused path: evaluate the current-pose error through
+                # the frozen-correspondence trial kernel (K=1).
+                from small_gicp_tpu.ops.gicp_fused_pallas import (
+                    gicp_error_multi_pallas,
+                )
+
+                corr16, sorted_src = fused_buf
+                e = gicp_error_multi_pallas(
+                    corr16, sorted_src, s.T[None], source.num_points
+                )[0]
+            e = e.astype(factors._error_accum_dtype(dtype))
             delta = solve6x6(H, -b, jnp.asarray(gn_lambda, dtype))
             conv = _converged(delta, rot_eps, trans_eps)
             # GN applies the update even on the converging iteration
@@ -386,7 +409,7 @@ def align_impl(
                 last_e=e,
                 converged=conv,
                 iterations=s.i,
-                num_inliers=jnp.sum(corr.mask).astype(jnp.int32),
+                num_inliers=inliers,
                 i=s.i + 1,
             )
             return _sel(active, new, s)
@@ -400,7 +423,7 @@ def align_impl(
 
         def body(s: _OptState) -> _OptState:
             active = (~s.converged) & (~s.failed) & (s.i < max_iterations)
-            corr, H, b, e0, fused_buf = search_linearize(s.T)
+            H, b, e0, inliers, fused_buf = search_linearize(s.T)
 
             # Inner lambda trials (optimizer.hpp:107-134), BATCHED: the
             # reference tries lambdas sequentially, but trial j's lambda
@@ -436,6 +459,7 @@ def align_impl(
                 e0 = errs_all[0]
                 errs = errs_all[1:]
             else:
+                corr, _ = fused_buf
                 errs = err_multi(corr, Ts)  # [K]
             ok = errs <= e0
             accepted = jnp.any(ok)
@@ -467,7 +491,7 @@ def align_impl(
                 converged=conv,
                 failed=~accepted,
                 iterations=s.i,
-                num_inliers=jnp.sum(corr.mask).astype(jnp.int32),
+                num_inliers=inliers,
                 i=s.i + 1,
             )
             return _sel(active, new, s)

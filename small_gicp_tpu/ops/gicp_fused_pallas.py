@@ -52,10 +52,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38
+# Default thin-tile row count for in-kernel bbox pruning; the wrapper
+# doubles it until the tb_ref SMEM table stays small (≤384 tiles).
+_TS_DEFAULT = 256
+# Grid-swept fallback superblock cap: a [BM,16] VMEM window pads its 16
+# lanes to 128 under (8,128) tiling, so the double-buffered window costs
+# BM*128*4*2 bytes — 48 MB at 49152 rows (128 MB VMEM total). The
+# fallback only serves targets beyond the list-driven path's cap.
+_BM_CAP = 49152
+# List-driven path cap: the whole [16, MP] f32 table stays VMEM-resident
+# (dense layout, no padding waste) — 96 MB at 1.5M rows.
+_LISTED_MP_CAP = 1_572_864
 
 
 def _fused_kernel(
-    nt_ref, tb_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay, qbb
+    nt_ref, tb_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay, qbb,
+    *, ts: int,
 ):
     """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq | pad]
     (2-D so the auto-batching rule's squeezed leading block dim keeps the
@@ -69,17 +81,23 @@ def _fused_kernel(
     best_d/best_pay: VMEM scratch [8, BQ] (row 0 used) / [16, BQ];
     qbb: SMEM scratch [8] — the query block's transformed bbox.
 
-    Tile pruning: a [BM, BQ] tile whose target bbox is farther than
-    max_dist from the query block's bbox cannot produce an ACCEPTED
+    Tile pruning: the [BM, BQ] superblock is scanned as BM/TS THIN tiles
+    by an in-kernel fori loop; a thin tile whose target bbox is farther
+    than max_dist from the query block's bbox cannot produce an ACCEPTED
     correspondence (the rejector masks everything beyond max_dist —
-    rejector.hpp:19-28), so its distance scan is skipped entirely. With
-    both clouds Morton-sorted (wrapper), blocks are spatially compact
-    and most (query, target) tile pairs prune. Exact within the rejector
-    radius: a pruned tile's points would all have been masked out.
+    rejector.hpp:19-28), so its distance scan is skipped for the cost of
+    one scalar branch. The in-kernel loop keeps pruning granularity
+    (~TS rows) decoupled from the DMA/grid granularity (BM rows): thin
+    tiles would otherwise explode the grid-step count. With both clouds
+    Morton-sorted (wrapper), blocks are spatially compact and most
+    (query, thin-tile) pairs prune. Exact within the rejector radius: a
+    pruned tile's points would all have been masked out.
     """
     mi = pl.program_id(1)
     n_mi = pl.num_programs(1)
     bq = q_ref.shape[1]
+    bm = t_ref.shape[0]
+    n_thin = bm // ts
 
     r00, r01, r02 = nt_ref[0, 0], nt_ref[0, 1], nt_ref[0, 2]
     r10, r11, r12 = nt_ref[0, 3], nt_ref[0, 4], nt_ref[0, 5]
@@ -112,180 +130,72 @@ def _fused_kernel(
         qbb[4] = jnp.max(jnp.where(val, qy, -_BIG))
         qbb[5] = jnp.max(jnp.where(val, qz, -_BIG))
 
-    o = mi * 8
+    qlo_x, qlo_y, qlo_z = qbb[0], qbb[1], qbb[2]
+    qhi_x, qhi_y, qhi_z = qbb[3], qbb[4], qbb[5]
     zero = jnp.float32(0.0)
-    gx = jnp.maximum(
-        zero, jnp.maximum(tb_ref[0, o + 0] - qbb[3], qbb[0] - tb_ref[0, o + 3])
-    )
-    gy = jnp.maximum(
-        zero, jnp.maximum(tb_ref[0, o + 1] - qbb[4], qbb[1] - tb_ref[0, o + 4])
-    )
-    gz = jnp.maximum(
-        zero, jnp.maximum(tb_ref[0, o + 2] - qbb[5], qbb[2] - tb_ref[0, o + 5])
-    )
-    gap2 = gx * gx + gy * gy + gz * gz
-    # NaN-safe: only prune on a definite "too far" (comparisons with NaN
-    # are False, so a NaN gap keeps the tile).
-    live = ~(gap2 > max_d2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
 
-    @pl.when(live)
-    def _():
-        dx = qx - t_ref[:, 0:1]  # [BM, BQ]
-        dy = qy - t_ref[:, 1:2]
-        dz = qz - t_ref[:, 2:3]
-        d2 = dx * dx + dy * dy + dz * dz  # [BM, BQ]
-
-        bm, bq = d2.shape
-        row = jax.lax.broadcasted_iota(jnp.int32, (bm, bq), 0)
-        tile_min = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
-        tile_row = jnp.min(
-            jnp.where(d2 <= tile_min, row, jnp.int32(2**30)),
-            axis=0, keepdims=True,
+    def thin_tile(t, carry):
+        j = mi * n_thin + t  # global thin-tile id into tb_ref
+        o = j * 8
+        gx = jnp.maximum(
+            zero, jnp.maximum(tb_ref[0, o + 0] - qhi_x, qlo_x - tb_ref[0, o + 3])
         )
-        better = tile_min < best_d[0:1, :]
-        # winner payload column via one-hot matmul (the TPU's gather)
-        onehot = (row == tile_row).astype(jnp.float32)  # [BM, BQ]
-        pay = jax.lax.dot_general(
-            t_ref[:], onehot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # Explicit: a one-pass bf16 dot would quantize the payload
-            # rows (target means/covs) to 8-bit mantissa even though the
-            # one-hot side is exact — don't depend on the package-level
-            # global (__init__.py:24-32) surviving an embedding app's
-            # override.
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [16, BQ]
-        best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
-        best_pay[:] = jnp.where(better, pay, best_pay[:])
+        gy = jnp.maximum(
+            zero, jnp.maximum(tb_ref[0, o + 1] - qhi_y, qlo_y - tb_ref[0, o + 4])
+        )
+        gz = jnp.maximum(
+            zero, jnp.maximum(tb_ref[0, o + 2] - qhi_z, qlo_z - tb_ref[0, o + 5])
+        )
+        gap2 = gx * gx + gy * gy + gz * gz
+        # NaN-safe: only prune on a definite "too far" (comparisons with
+        # NaN are False, so a NaN gap keeps the tile).
+        live = ~(gap2 > max_d2)
+
+        @pl.when(live)
+        def _():
+            rows = t_ref[pl.ds(t * ts, ts), :]  # [TS, 16]
+            dx = qx - rows[:, 0:1]  # [TS, BQ]
+            dy = qy - rows[:, 1:2]
+            dz = qz - rows[:, 2:3]
+            d2 = dx * dx + dy * dy + dz * dz  # [TS, BQ]
+
+            tile_min = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
+            tile_row = jnp.min(
+                jnp.where(d2 <= tile_min, row, jnp.int32(2**30)),
+                axis=0, keepdims=True,
+            )
+            better = tile_min < best_d[0:1, :]
+            # winner payload column via one-hot matmul (the TPU's gather)
+            onehot = (row == tile_row).astype(jnp.float32)  # [TS, BQ]
+            pay = jax.lax.dot_general(
+                rows, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # Explicit: a one-pass bf16 dot would quantize the
+                # payload rows (target means/covs) to 8-bit mantissa
+                # even though the one-hot side is exact — don't depend
+                # on the package-level global (__init__.py:24-32)
+                # surviving an embedding app's override.
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [16, BQ]
+            best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
+            best_pay[:] = jnp.where(better, pay, best_pay[:])
+
+        return carry
+
+    # unroll=1: with a static trip count Mosaic otherwise unrolls the
+    # loop and allocates every iteration's [ts, BQ] temporaries as
+    # separate VMEM stack slots (observed 64 MB scoped-vmem OOM at map
+    # scale); a rolled loop reuses one iteration's worth.
+    jax.lax.fori_loop(0, n_thin, thin_tile, 0, unroll=1)
 
     @pl.when(mi == n_mi - 1)
     def _():
-        d = best_d[0:1, :]
-        mask = (
-            (d <= max_d2) & (d < _BIG / 2.0) & (q_ref[12:13, :] > 0.5)
-        ).astype(jnp.float32)
-
-        mux = best_pay[0:1, :]
-        muy = best_pay[1:2, :]
-        muz = best_pay[2:3, :]
-        rx = mux - qx
-        ry = muy - qy
-        rz = muz - qz
-
-        # A = R C_s; B = A Rᵀ; M = C_t + B  (gicp_factor.hpp:59)
-        c = [q_ref[3 + k:4 + k, :] for k in range(9)]  # C_s row-major
-        a00 = r00 * c[0] + r01 * c[3] + r02 * c[6]
-        a01 = r00 * c[1] + r01 * c[4] + r02 * c[7]
-        a02 = r00 * c[2] + r01 * c[5] + r02 * c[8]
-        a10 = r10 * c[0] + r11 * c[3] + r12 * c[6]
-        a11 = r10 * c[1] + r11 * c[4] + r12 * c[7]
-        a12 = r10 * c[2] + r11 * c[5] + r12 * c[8]
-        a20 = r20 * c[0] + r21 * c[3] + r22 * c[6]
-        a21 = r20 * c[1] + r21 * c[4] + r22 * c[7]
-        a22 = r20 * c[2] + r21 * c[5] + r22 * c[8]
-        m00 = best_pay[3:4, :] + a00 * r00 + a01 * r01 + a02 * r02
-        m01 = best_pay[4:5, :] + a00 * r10 + a01 * r11 + a02 * r12
-        m02 = best_pay[5:6, :] + a00 * r20 + a01 * r21 + a02 * r22
-        m10 = best_pay[6:7, :] + a10 * r00 + a11 * r01 + a12 * r02
-        m11 = best_pay[7:8, :] + a10 * r10 + a11 * r11 + a12 * r12
-        m12 = best_pay[8:9, :] + a10 * r20 + a11 * r21 + a12 * r22
-        m20 = best_pay[9:10, :] + a20 * r00 + a21 * r01 + a22 * r02
-        m21 = best_pay[10:11, :] + a20 * r10 + a21 * r11 + a22 * r12
-        m22 = best_pay[11:12, :] + a20 * r20 + a21 * r21 + a22 * r22
-
-        # adjugate inverse, same det guard as ops/eigh3.inv3x3
-        co00 = m11 * m22 - m12 * m21
-        co01 = m02 * m21 - m01 * m22
-        co02 = m01 * m12 - m02 * m11
-        co10 = m12 * m20 - m10 * m22
-        co11 = m00 * m22 - m02 * m20
-        co12 = m02 * m10 - m00 * m12
-        co20 = m10 * m21 - m11 * m20
-        co21 = m01 * m20 - m00 * m21
-        co22 = m00 * m11 - m01 * m10
-        det = m00 * co00 + m01 * co10 + m02 * co20
-        bad = jnp.abs(det) < 1e-30
-        inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
-        w00 = co00 * inv_det
-        w01 = co01 * inv_det
-        w02 = co02 * inv_det
-        w10 = co10 * inv_det
-        w11 = co11 * inv_det
-        w12 = co12 * inv_det
-        w20 = co20 * inv_det
-        w21 = co21 * inv_det
-        w22 = co22 * inv_det
-
-        # Wr, e = ½ rᵀWr
-        wr0 = w00 * rx + w01 * ry + w02 * rz
-        wr1 = w10 * rx + w11 * ry + w12 * rz
-        wr2 = w20 * rx + w21 * ry + w22 * rz
-        e_i = 0.5 * (rx * wr0 + ry * wr1 + rz * wr2)
-
-        # J = [R·skew(p) | −R]  (factors.geometric_jacobian)
-        j = [[None] * 6 for _ in range(3)]
-        j[0][0] = r01 * pz - r02 * py
-        j[0][1] = r02 * px - r00 * pz
-        j[0][2] = r00 * py - r01 * px
-        j[1][0] = r11 * pz - r12 * py
-        j[1][1] = r12 * px - r10 * pz
-        j[1][2] = r10 * py - r11 * px
-        j[2][0] = r21 * pz - r22 * py
-        j[2][1] = r22 * px - r20 * pz
-        j[2][2] = r20 * py - r21 * px
-        rmat = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
-        ones = jnp.ones_like(px)
-        for i in range(3):
-            for k in range(3):
-                j[i][3 + k] = -rmat[i][k] * ones
-
-        w = ((w00, w01, w02), (w10, w11, w12), (w20, w21, w22))
-        # WJ[i][b] = Σ_k W[i][k] J[k][b]
-        wj = [
-            [
-                w[i][0] * j[0][b] + w[i][1] * j[1][b] + w[i][2] * j[2][b]
-                for b in range(6)
-            ]
-            for i in range(3)
-        ]
-        wr = (wr0, wr1, wr2)
-        rows = []
-        # H row-major, all 36 entries (symmetric but the XLA-side
-        # consumer expects the full matrix; redundancy is cheap)
-        for a in range(6):
-            for b_ in range(6):
-                h_ab = (
-                    j[0][a] * wj[0][b_]
-                    + j[1][a] * wj[1][b_]
-                    + j[2][a] * wj[2][b_]
-                )
-                rows.append(h_ab * mask)
-        for a in range(6):
-            b_a = j[0][a] * wr[0] + j[1][a] * wr[1] + j[2][a] * wr[2]
-            rows.append(b_a * mask)
-        rows.append(e_i * mask)
-        rows.append(mask)
-        rows += [jnp.zeros_like(px)] * (128 - len(rows))
-        v = jnp.concatenate(rows, axis=0)  # [128, BQ]
-        ones8 = jnp.ones((8, bq), jnp.float32)
-        # [8, 128] = ones8 · vᵀ (contract the BQ lane axes): every row of
-        # the tile carries the identical block sum; caller divides by 8.
-        acc_ref[:] = jax.lax.dot_general(
-            ones8, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        _fused_finalize(
+            best_d, best_pay, q_ref, corr_ref, acc_ref,
+            (r00, r01, r02, r10, r11, r12, r20, r21, r22),
+            (qx, qy, qz), (px, py, pz), max_d2,
         )
-
-        corr = jnp.concatenate(
-            [
-                mux, muy, muz,
-                w00, w01, w02, w10, w11, w12, w20, w21, w22,
-                mask, d,
-                jnp.zeros_like(px), jnp.zeros_like(px),
-            ],
-            axis=0,
-        )  # [16, BQ]
-        corr_ref[:] = corr
 
 
 @jax.jit
@@ -336,59 +246,314 @@ def morton_presort(
     )
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "sort"))
-def gicp_linearize_pallas(
+
+
+def _fused_finalize(
+    best_d, best_pay, q_ref, corr_ref, acc_ref, rmat9, qxyz, pxyz, max_d2
+):
+    """Per-query-block linearization from the winning correspondences:
+    mahalanobis W = (C_t + R C_s Rᵀ)⁻¹ (adjugate inverse, same guard as
+    ops/eigh3.inv3x3), rejector mask, J = [R·skew(p) | −R], the
+    [H|b|e|inliers] block reduction via one ones-vector MXU matmul, and
+    the frozen-correspondence buffer write. Shared by the grid-swept
+    (_fused_kernel) and list-driven (_fused_kernel_listed) variants.
+    """
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rmat9
+    qx, qy, qz = qxyz
+    px, py, pz = pxyz
+    bq = q_ref.shape[1]
+    d = best_d[0:1, :]
+    mask = (
+        (d <= max_d2) & (d < _BIG / 2.0) & (q_ref[12:13, :] > 0.5)
+    ).astype(jnp.float32)
+
+    mux = best_pay[0:1, :]
+    muy = best_pay[1:2, :]
+    muz = best_pay[2:3, :]
+    rx = mux - qx
+    ry = muy - qy
+    rz = muz - qz
+
+    # A = R C_s; B = A Rᵀ; M = C_t + B  (gicp_factor.hpp:59)
+    c = [q_ref[3 + k:4 + k, :] for k in range(9)]  # C_s row-major
+    a00 = r00 * c[0] + r01 * c[3] + r02 * c[6]
+    a01 = r00 * c[1] + r01 * c[4] + r02 * c[7]
+    a02 = r00 * c[2] + r01 * c[5] + r02 * c[8]
+    a10 = r10 * c[0] + r11 * c[3] + r12 * c[6]
+    a11 = r10 * c[1] + r11 * c[4] + r12 * c[7]
+    a12 = r10 * c[2] + r11 * c[5] + r12 * c[8]
+    a20 = r20 * c[0] + r21 * c[3] + r22 * c[6]
+    a21 = r20 * c[1] + r21 * c[4] + r22 * c[7]
+    a22 = r20 * c[2] + r21 * c[5] + r22 * c[8]
+    m00 = best_pay[3:4, :] + a00 * r00 + a01 * r01 + a02 * r02
+    m01 = best_pay[4:5, :] + a00 * r10 + a01 * r11 + a02 * r12
+    m02 = best_pay[5:6, :] + a00 * r20 + a01 * r21 + a02 * r22
+    m10 = best_pay[6:7, :] + a10 * r00 + a11 * r01 + a12 * r02
+    m11 = best_pay[7:8, :] + a10 * r10 + a11 * r11 + a12 * r12
+    m12 = best_pay[8:9, :] + a10 * r20 + a11 * r21 + a12 * r22
+    m20 = best_pay[9:10, :] + a20 * r00 + a21 * r01 + a22 * r02
+    m21 = best_pay[10:11, :] + a20 * r10 + a21 * r11 + a22 * r12
+    m22 = best_pay[11:12, :] + a20 * r20 + a21 * r21 + a22 * r22
+
+    # adjugate inverse, same det guard as ops/eigh3.inv3x3
+    co00 = m11 * m22 - m12 * m21
+    co01 = m02 * m21 - m01 * m22
+    co02 = m01 * m12 - m02 * m11
+    co10 = m12 * m20 - m10 * m22
+    co11 = m00 * m22 - m02 * m20
+    co12 = m02 * m10 - m00 * m12
+    co20 = m10 * m21 - m11 * m20
+    co21 = m01 * m20 - m00 * m21
+    co22 = m00 * m11 - m01 * m10
+    det = m00 * co00 + m01 * co10 + m02 * co20
+    bad = jnp.abs(det) < 1e-30
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
+    w00 = co00 * inv_det
+    w01 = co01 * inv_det
+    w02 = co02 * inv_det
+    w10 = co10 * inv_det
+    w11 = co11 * inv_det
+    w12 = co12 * inv_det
+    w20 = co20 * inv_det
+    w21 = co21 * inv_det
+    w22 = co22 * inv_det
+
+    # Wr, e = ½ rᵀWr
+    wr0 = w00 * rx + w01 * ry + w02 * rz
+    wr1 = w10 * rx + w11 * ry + w12 * rz
+    wr2 = w20 * rx + w21 * ry + w22 * rz
+    e_i = 0.5 * (rx * wr0 + ry * wr1 + rz * wr2)
+
+    # J = [R·skew(p) | −R]  (factors.geometric_jacobian)
+    j = [[None] * 6 for _ in range(3)]
+    j[0][0] = r01 * pz - r02 * py
+    j[0][1] = r02 * px - r00 * pz
+    j[0][2] = r00 * py - r01 * px
+    j[1][0] = r11 * pz - r12 * py
+    j[1][1] = r12 * px - r10 * pz
+    j[1][2] = r10 * py - r11 * px
+    j[2][0] = r21 * pz - r22 * py
+    j[2][1] = r22 * px - r20 * pz
+    j[2][2] = r20 * py - r21 * px
+    rmat = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+    ones = jnp.ones_like(px)
+    for i in range(3):
+        for k in range(3):
+            j[i][3 + k] = -rmat[i][k] * ones
+
+    w = ((w00, w01, w02), (w10, w11, w12), (w20, w21, w22))
+    # WJ[i][b] = Σ_k W[i][k] J[k][b]
+    wj = [
+        [
+            w[i][0] * j[0][b] + w[i][1] * j[1][b] + w[i][2] * j[2][b]
+            for b in range(6)
+        ]
+        for i in range(3)
+    ]
+    wr = (wr0, wr1, wr2)
+    rows = []
+    # H row-major, all 36 entries (symmetric but the XLA-side
+    # consumer expects the full matrix; redundancy is cheap)
+    for a in range(6):
+        for b_ in range(6):
+            h_ab = (
+                j[0][a] * wj[0][b_]
+                + j[1][a] * wj[1][b_]
+                + j[2][a] * wj[2][b_]
+            )
+            rows.append(h_ab * mask)
+    for a in range(6):
+        b_a = j[0][a] * wr[0] + j[1][a] * wr[1] + j[2][a] * wr[2]
+        rows.append(b_a * mask)
+    rows.append(e_i * mask)
+    rows.append(mask)
+    rows += [jnp.zeros_like(px)] * (128 - len(rows))
+    v = jnp.concatenate(rows, axis=0)  # [128, BQ]
+    ones8 = jnp.ones((8, bq), jnp.float32)
+    # [8, 128] = ones8 · vᵀ (contract the BQ lane axes): every row of
+    # the tile carries the identical block sum; caller divides by 8.
+    acc_ref[:] = jax.lax.dot_general(
+        ones8, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    corr = jnp.concatenate(
+        [
+            mux, muy, muz,
+            w00, w01, w02, w10, w11, w12, w20, w21, w22,
+            mask, d,
+            jnp.zeros_like(px), jnp.zeros_like(px),
+        ],
+        axis=0,
+    )  # [16, BQ]
+    corr_ref[:] = corr
+
+def _fused_kernel_listed(
+    nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref, acc_ref,
+    best_d, best_pay, *, ts: int, L: int, transposed: bool,
+):
+    """List-driven variant of _fused_kernel: the WHOLE (Morton-sorted)
+    target is VMEM-resident, grid = (query_blocks,), and each block
+    walks ONLY its live thin tiles — a per-(block, tile) index list the
+    caller computed from bbox gaps vs the rejector radius. This is the
+    pruning mechanism that actually skips work on TPU: `pl.when` inside
+    a rolled loop PREDICATES the body (measured: a fully-prunable
+    problem ran at ~85% of the dense time), while a dynamic trip count
+    over a compact list never issues the dead tiles at all.
+
+    nt_ref: SMEM [1,20] pose row (see _fused_kernel);
+    lists_ref: SMEM [1, nQB*L] live thin-tile ids per query block;
+    counts_ref: SMEM [1, nQB] live counts — a count > L means the
+    block overflowed the list and scans ALL tiles (exact fallback);
+    t_ref: VMEM [MP,16]; q_ref: VMEM [16,BQ]; outputs as _fused_kernel.
+    """
+    qi = pl.program_id(0)
+    bq = q_ref.shape[1]
+    mp = t_ref.shape[1] if transposed else t_ref.shape[0]
+    n_tt = mp // ts
+
+    r00, r01, r02 = nt_ref[0, 0], nt_ref[0, 1], nt_ref[0, 2]
+    r10, r11, r12 = nt_ref[0, 3], nt_ref[0, 4], nt_ref[0, 5]
+    r20, r21, r22 = nt_ref[0, 6], nt_ref[0, 7], nt_ref[0, 8]
+    tx, ty, tz = nt_ref[0, 9], nt_ref[0, 10], nt_ref[0, 11]
+    max_d2 = nt_ref[0, 12]
+
+    px = q_ref[0:1, :]
+    py = q_ref[1:2, :]
+    pz = q_ref[2:3, :]
+    qx = r00 * px + r01 * py + r02 * pz + tx
+    qy = r10 * px + r11 * py + r12 * pz + ty
+    qz = r20 * px + r21 * py + r22 * pz + tz
+
+    best_d[:] = jnp.full_like(best_d, _BIG)
+    best_pay[:] = jnp.zeros_like(best_pay)
+
+    cnt = counts_ref[0, qi]
+    use_list = cnt <= L
+    n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
+    row = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
+
+    def tile_body(t, carry):
+        jl = jnp.where(
+            use_list,
+            lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+            t.astype(jnp.int32),
+        )
+        if transposed:
+            # Dense [16, MP] layout (map scale: a [MP,16] VMEM window
+            # pads 16 lanes to 128 — 8x waste). Coordinate rows become
+            # [TS,1] columns via three tiny vector transposes per tile.
+            t16 = t_ref[:, pl.ds(jl * ts, ts)]  # [16, TS]
+            tx_ = jnp.transpose(t16[0:1, :], (1, 0))
+            ty_ = jnp.transpose(t16[1:2, :], (1, 0))
+            tz_ = jnp.transpose(t16[2:3, :], (1, 0))
+        else:
+            # Row-major [MP,16] layout: no per-tile transposes; the 8x
+            # VMEM padding is affordable below ~64k rows and measures
+            # ~20% faster at scan scale.
+            rows_t = t_ref[pl.ds(jl * ts, ts), :]  # [TS, 16]
+            tx_ = rows_t[:, 0:1]
+            ty_ = rows_t[:, 1:2]
+            tz_ = rows_t[:, 2:3]
+        dx = qx - tx_
+        dy = qy - ty_
+        dz = qz - tz_
+        d2 = dx * dx + dy * dy + dz * dz  # [TS, BQ]
+        tile_min = jnp.min(d2, axis=0, keepdims=True)
+        tile_row = jnp.min(
+            jnp.where(d2 <= tile_min, row, jnp.int32(2**30)),
+            axis=0, keepdims=True,
+        )
+        better = tile_min < best_d[0:1, :]
+        onehot = (row == tile_row).astype(jnp.float32)
+        if transposed:
+            pay = jax.lax.dot_general(
+                t16, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            pay = jax.lax.dot_general(
+                rows_t, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        best_d[0:1, :] = jnp.where(better, tile_min, best_d[0:1, :])
+        best_pay[:] = jnp.where(better, pay, best_pay[:])
+        return carry
+
+    jax.lax.fori_loop(0, n_iter, tile_body, 0, unroll=1)
+
+    # --- final per-block linearization (identical to _fused_kernel) ---
+    _fused_finalize(
+        best_d, best_pay, q_ref, corr_ref, acc_ref,
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22), (qx, qy, qz),
+        (px, py, pz), max_d2,
+    )
+
+
+def _sizes(m: int, n: int, block_q: int, block_m: int):
+    """Static tiling decisions shared by prepare and linearize.
+
+    Thin-tile size: smallest ts that keeps the SMEM bbox table ≤384
+    tiles; superblock = whole target up to the VMEM cap (the in-kernel
+    fori walks it in ts-row tiles, so DMA steps stay few while pruning
+    stays fine-grained).
+    """
+    mp0 = (m + _TS_DEFAULT - 1) // _TS_DEFAULT * _TS_DEFAULT
+    ts = _TS_DEFAULT
+    while mp0 // ts > 384:
+        ts *= 2
+    block_m = min(max(block_m, _BM_CAP), (m + ts - 1) // ts * ts)
+    block_m = (block_m + ts - 1) // ts * ts
+    block_q = min(block_q, (n + 127) // 128 * 128)
+    mp = (m + block_m - 1) // block_m * block_m
+    qp = (n + block_q - 1) // block_q * block_q
+    return ts, block_m, block_q, mp, qp
+
+
+@partial(jax.jit, static_argnames=("block_q", "block_m", "sort"))
+def gicp_prepare(
     target_points: jax.Array,  # [M,4]
     target_covs: jax.Array,  # [M,3,3]
     source_points: jax.Array,  # [N,4]
     source_covs: jax.Array,  # [N,3,3]
-    T: jax.Array,  # [4,4]
     num_points: jax.Array,  # scalar int32 (valid source rows)
-    max_dist_sq,
     block_q: int = 512,
     block_m: int = 1024,
-    interpret: bool = False,
     sort: bool = True,
-) -> Tuple[jax.Array, ...]:
-    """Fused GICP search+linearize.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """ONE-TIME per-align preparation for the fused kernel.
 
-    Returns (H [6,6], b [6], target_mu [N,3], W [N,3,3], mask [N] bool,
-    sq_dists [N], corr16 [16,QP] raw lane-major correspondence buffer
-    for gicp_error_multi_pallas, sorted_source [QP,4] the Morton-sorted
-    padded source points corr16 is aligned with) — H/b match
-    factors.linearize over the correspondences that
-    _search_correspondences would produce with an exact NN (up to f32
-    reduction order). mu/W/mask/sq are in ORIGINAL source row order.
+    Morton-sorts both clouds (anchored at each cloud's min corner — see
+    morton_codes32 on why straddling the default origin destroys block
+    compactness), builds the kernel-format tables and the per-thin-tile
+    bbox array. Everything here depends only on the clouds, so callers
+    running the kernel inside an optimizer loop call this once before
+    the loop (no reliance on XLA loop-invariant hoisting) and feed the
+    tables to gicp_linearize_tables each iteration.
 
-    sort=True Morton-sorts both clouds so the kernel's bbox tile
-    pruning fires (spatially compact blocks); the sorts depend only on
-    loop-invariant cloud data, so XLA hoists them out of the optimizer's
-    while loop — per-iteration cost is the kernel alone. Pruning is
-    exact within the rejector radius (see _fused_kernel docstring).
+    Returns (ttab [MP,16], tb [1,n_tt*8], qtab [16,QP],
+    sorted_src [QP,4], sperm [N] — the source permutation applied, for
+    callers that need per-point outputs in original order, ttab_T
+    [16,MP] — the transposed table the list-driven kernel keeps
+    VMEM-resident: [MP,16] windows pad their 16 lanes to 128 under the
+    TPU's (8,128) tiling, an 8x VMEM waste that OOMs at map scale).
     """
+    from small_gicp_tpu.ops.knn_window import morton_codes32
+
     m = target_points.shape[0]
     n = source_points.shape[0]
+    ts, block_m, block_q, mp, qp = _sizes(m, n, block_q, block_m)
 
     tc = jnp.clip(target_points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
-    block_m = min(block_m, (m + 511) // 512 * 512)
-    block_q = min(block_q, (n + 127) // 128 * 128)
-    mp = (m + block_m - 1) // block_m * block_m
-    qp = (n + block_q - 1) // block_q * block_q
-
     valid = (jnp.arange(n, dtype=jnp.int32) < num_points).astype(jnp.float32)
     sperm = jnp.arange(n, dtype=jnp.int32)
     if sort:
-        from small_gicp_tpu.ops.knn_window import morton_codes32
-
         # Cell size ~ the rejector radius: block extents then sit at the
         # pruning length scale. Sentinel/invalid coords map to the max
-        # code and sort last (their tiles carry inverted bboxes). Codes
-        # are anchored at each cloud's min corner (see morton_codes32 on
-        # why straddling the default origin destroys compactness).
-        # NOTE: callers inside an optimizer loop should pre-sort ONCE
-        # and pass sort=False — these sorts depend only on the clouds,
-        # but relying on XLA's loop-invariant code motion to hoist them
-        # out of a while loop is not a given (align_impl pre-sorts).
+        # code and sort last (their tiles carry inverted bboxes).
         t_finite = jnp.all(jnp.abs(tc) < 1.0e8, axis=-1, keepdims=True)
         t_origin = jnp.min(jnp.where(t_finite, tc, jnp.inf), axis=0)
         t_origin = jnp.where(jnp.isfinite(t_origin), t_origin, 0.0)
@@ -422,17 +587,17 @@ def gicp_linearize_pallas(
         padrow = jnp.zeros((mp - m, 16), jnp.float32).at[:, :3].set(1.0e12)
         ttab = jnp.concatenate([ttab, padrow], axis=0)
 
-    # Per-target-tile bboxes over finite rows (sentinel rows excluded —
+    # Per-thin-tile bboxes over finite rows (sentinel rows excluded —
     # they can never be accepted correspondences, so a tile of them may
     # prune).
-    n_mt = mp // block_m
-    tcoord = ttab[:, :3].reshape(n_mt, block_m, 3)
+    n_tt = mp // ts
+    tcoord = ttab[:, :3].reshape(n_tt, ts, 3)
     finite = jnp.all(jnp.abs(tcoord) < 1.0e8, axis=-1, keepdims=True)
-    lo = jnp.min(jnp.where(finite, tcoord, _BIG), axis=1)  # [n_mt,3]
+    lo = jnp.min(jnp.where(finite, tcoord, _BIG), axis=1)  # [n_tt,3]
     hi = jnp.max(jnp.where(finite, tcoord, -_BIG), axis=1)
     tb = jnp.concatenate(
-        [lo, hi, jnp.zeros((n_mt, 2), jnp.float32)], axis=1
-    ).reshape(1, n_mt * 8)
+        [lo, hi, jnp.zeros((n_tt, 2), jnp.float32)], axis=1
+    ).reshape(1, n_tt * 8)
 
     qtab = jnp.concatenate(
         [
@@ -447,6 +612,41 @@ def gicp_linearize_pallas(
         qtab = jnp.concatenate([qtab, jnp.zeros((qp - n, 16), jnp.float32)], axis=0)
     qtab = qtab.T  # [16, QP]
 
+    sorted_src = source_points
+    if qp != n:
+        sorted_src = jnp.concatenate(
+            [sorted_src, jnp.zeros((qp - n, 4), sorted_src.dtype)], axis=0
+        )
+    return ttab, tb, qtab, sorted_src, sperm, ttab.T.copy()
+
+
+@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret"))
+def gicp_linearize_tables(
+    ttab: jax.Array,  # [MP,16] from gicp_prepare
+    tb: jax.Array,  # [1, n_tt*8]
+    qtab: jax.Array,  # [16, QP]
+    T: jax.Array,  # [4,4]
+    max_dist_sq,
+    ttab_T: jax.Array = None,  # [16,MP] (gicp_prepare; for the listed path)
+    block_q: int = 512,
+    block_m: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-iteration fused search+linearize over prepared tables.
+
+    Returns (H [6,6] f32, b [6] f32, num_inliers f32 scalar,
+    corr16 [16,QP]) — the ONLY quantities an optimizer iteration needs
+    (all permutation-invariant or opaque), so no per-point
+    post-processing runs in the loop. The inlier count rides in the
+    kernel's own acc reduction (row 43 = mask sum).
+    """
+    mp = ttab.shape[0]
+    qp = qtab.shape[1]
+    n_tt = tb.shape[1] // 8
+    ts = mp // n_tt
+    _, block_m, block_q, mp2, qp2 = _sizes(mp, qp, block_q, block_m)
+    assert mp2 == mp and qp2 == qp, "tables not produced by gicp_prepare"
+
     Tf = T.astype(jnp.float32)
     nt = jnp.concatenate(
         [
@@ -457,55 +657,180 @@ def gicp_linearize_pallas(
         ]
     )[None, :]  # [1, 20] (2-D so vmap's squeezed batch dim lowers — see kernel)
 
-    grid = (qp // block_q, mp // block_m)
-    with jax.enable_x64(False):
-        corr, acc = pl.pallas_call(
-            _fused_kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (block_m, 16), lambda qi, mi: (mi, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (16, block_q), lambda qi, mi: (0, qi),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (16, block_q), lambda qi, mi: (0, qi),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (8, 128), lambda qi, mi: (qi, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((16, qp), jnp.float32),
-                jax.ShapeDtypeStruct((qp // block_q * 8, 128), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((8, block_q), jnp.float32),
-                pltpu.VMEM((16, block_q), jnp.float32),
-                pltpu.SMEM((8,), jnp.float32),
-            ],
-            interpret=interpret,
-        )(nt, tb, ttab, qtab)
+    n_qb = qp // block_q
+    if ttab_T is None:
+        ttab_T = ttab.T
+    if mp <= _LISTED_MP_CAP:
+        # Single-superblock fast path: the whole target is VMEM-resident
+        # and each query block iterates ONLY its live thin tiles. The
+        # live set is a few hundred scalar bbox gap tests — computed
+        # here in XLA per iteration (transformed query-block bboxes vs
+        # tb), because in-kernel `pl.when` pruning PREDICATES instead of
+        # branching (see _fused_kernel_listed).
+        L = min(n_tt, 96)
+        qf = qtab.astype(jnp.float32)
+        R = Tf[:3, :3]
+        tvec = Tf[:3, 3]
+        txq = R @ qf[0:3, :] + tvec[:, None]  # [3, QP] transformed
+        valid = qf[12:13, :] > 0.5
+        qb = txq.reshape(3, n_qb, block_q)
+        vb = valid.reshape(1, n_qb, block_q)
+        lo = jnp.min(jnp.where(vb, qb, _BIG), axis=2)  # [3, n_qb]
+        hi = jnp.max(jnp.where(vb, qb, -_BIG), axis=2)
+        tbr = tb.reshape(n_tt, 8)
+        gaps = jnp.maximum(
+            0.0,
+            jnp.maximum(
+                tbr[None, :, 0:3] - hi.T[:, None, :],
+                lo.T[:, None, :] - tbr[None, :, 3:6],
+            ),
+        )  # [n_qb, n_tt, 3]
+        gap2 = jnp.sum(gaps * gaps, axis=-1)
+        live = ~(
+            gap2 > jnp.asarray(max_dist_sq, jnp.float32)
+        )  # NaN-safe keep
+        counts = jnp.sum(live, axis=1).astype(jnp.int32)  # [n_qb]
+        key = jnp.where(live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30))
+        lists = jnp.sort(key, axis=1)[:, :L].reshape(1, n_qb * L)
+        counts = counts[None, :]
 
-    dtype = source_points.dtype
-    sums = jnp.sum(acc, axis=0) / 8.0  # 8 replicated rows per block
-    H = sums[:36].reshape(6, 6).astype(dtype)
-    b = sums[36:42].astype(dtype)
-    corr16 = corr
-    sorted_src = source_points
-    if qp != n:
-        sorted_src = jnp.concatenate(
-            [sorted_src, jnp.zeros((qp - n, 4), sorted_src.dtype)], axis=0
+        # Row-major target below 64k rows (no per-tile transposes; the
+        # (8,128)-tiling 8x padding still fits VMEM), dense transposed
+        # layout above (padding would OOM the 128 MB VMEM).
+        use_T = mp > 65536
+        t_in = ttab_T if use_T else ttab
+        t_spec = (
+            pl.BlockSpec((16, mp), lambda qi: (0, 0), memory_space=pltpu.VMEM)
+            if use_T
+            else pl.BlockSpec(
+                (mp, 16), lambda qi: (0, 0), memory_space=pltpu.VMEM
+            )
         )
-    corr = corr[:, :n].T  # [N, 16] in sorted order
+        grid = (n_qb,)
+        with jax.enable_x64(False):
+            corr, acc = pl.pallas_call(
+                partial(_fused_kernel_listed, ts=ts, L=L, transposed=use_T),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    t_spec,
+                    pl.BlockSpec(
+                        (16, block_q), lambda qi: (0, qi),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (16, block_q), lambda qi: (0, qi),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (8, 128), lambda qi: (qi, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((16, qp), jnp.float32),
+                    jax.ShapeDtypeStruct((n_qb * 8, 128), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((8, block_q), jnp.float32),
+                    pltpu.VMEM((16, block_q), jnp.float32),
+                ],
+                interpret=interpret,
+            )(nt, lists, counts, t_in, qtab)
+    else:
+        grid = (n_qb, mp // block_m)
+        with jax.enable_x64(False):
+            corr, acc = pl.pallas_call(
+                partial(_fused_kernel, ts=ts),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (block_m, 16), lambda qi, mi: (mi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (16, block_q), lambda qi, mi: (0, qi),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (16, block_q), lambda qi, mi: (0, qi),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (8, 128), lambda qi, mi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((16, qp), jnp.float32),
+                    jax.ShapeDtypeStruct((n_qb * 8, 128), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((8, block_q), jnp.float32),
+                    pltpu.VMEM((16, block_q), jnp.float32),
+                    pltpu.SMEM((8,), jnp.float32),
+                ],
+                interpret=interpret,
+            )(nt, tb, ttab, qtab)
+
+    sums = jnp.sum(acc, axis=0) / 8.0  # 8 replicated rows per block
+    H = sums[:36].reshape(6, 6)
+    b = sums[36:42]
+    inliers = sums[43]
+    return H, b, inliers, corr
+
+
+@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "sort"))
+def gicp_linearize_pallas(
+    target_points: jax.Array,  # [M,4]
+    target_covs: jax.Array,  # [M,3,3]
+    source_points: jax.Array,  # [N,4]
+    source_covs: jax.Array,  # [N,3,3]
+    T: jax.Array,  # [4,4]
+    num_points: jax.Array,  # scalar int32 (valid source rows)
+    max_dist_sq,
+    block_q: int = 512,
+    block_m: int = 1024,
+    interpret: bool = False,
+    sort: bool = True,
+) -> Tuple[jax.Array, ...]:
+    """Fused GICP search+linearize (standalone convenience entry:
+    gicp_prepare + gicp_linearize_tables + per-point output extraction).
+    Optimizer loops should call the two stages directly so preparation
+    runs once, not per iteration.
+
+    Returns (H [6,6], b [6], target_mu [N,3], W [N,3,3], mask [N] bool,
+    sq_dists [N], corr16 [16,QP] raw lane-major correspondence buffer
+    for gicp_error_multi_pallas, sorted_source [QP,4] the Morton-sorted
+    padded source points corr16 is aligned with) — H/b match
+    factors.linearize over the correspondences that
+    _search_correspondences would produce with an exact NN (up to f32
+    reduction order). mu/W/mask/sq are in ORIGINAL source row order.
+
+    Pruning is exact within the rejector radius (see _fused_kernel
+    docstring).
+    """
+    n = source_points.shape[0]
+    dtype = source_points.dtype
+
+    ttab, tb, qtab, sorted_src, sperm, ttab_T = gicp_prepare(
+        target_points, target_covs, source_points, source_covs, num_points,
+        block_q=block_q, block_m=block_m, sort=sort,
+    )
+    H, b, _inliers, corr16 = gicp_linearize_tables(
+        ttab, tb, qtab, T, max_dist_sq, ttab_T,
+        block_q=block_q, block_m=block_m, interpret=interpret,
+    )
+    H = H.astype(dtype)
+    b = b.astype(dtype)
+    corr = corr16[:, :n].T  # [N, 16] in sorted order
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[sperm].set(
             jnp.arange(n, dtype=jnp.int32)

@@ -89,6 +89,272 @@ def _insert_sorted(run_d, run_i, m, mi):
     return new_d, new_i
 
 
+def _insert_sorted_lex(run_d, run_i, m, mi):
+    """`_insert_sorted` with LEXICOGRAPHIC (distance, index) ordering, so
+    the resulting list is independent of candidate arrival order — the
+    pruned kernel visits tiles outward from a spatial anchor, not in
+    index order, and exact-tie candidates must still land in
+    brute-force order (ascending distance, then ascending index)."""
+    if run_d.shape[1] == 1:  # k=1: no shift; plain lexicographic min
+        better = (m < run_d) | ((m == run_d) & (mi < run_i))
+        return jnp.where(better, m, run_d), jnp.where(better, mi, run_i)
+    gt = (run_d > m) | ((run_d == m) & (run_i > mi))
+    prev_d = jnp.concatenate(
+        [jnp.full_like(run_d[:, :1], -_BIG), run_d[:, :-1]], axis=1
+    )
+    prev_i = jnp.concatenate([run_i[:, :1], run_i[:, :-1]], axis=1)
+    prev_gt = (prev_d > m) | ((prev_d == m) & (prev_i > mi))
+    # Exact-duplicate guard: a candidate equal to an incumbent (same d
+    # AND same index — an out-of-range revisit would produce this) must
+    # not be inserted twice; the caller never revisits a tile, so equal
+    # (d, i) can only come from the same target row, which each tile
+    # extraction emits once.
+    new_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+    new_i = jnp.where(gt, jnp.where(prev_gt, prev_i, mi), run_i)
+    return new_d, new_i
+
+
+def _make_knn_pruned_kernel(k: int, ts: int):
+    """Pruned exact kNN kernel: ONE grid step per query block, whole
+    Morton-sorted target VMEM-resident, in-kernel fori over thin tiles
+    visited OUTWARD from the block's spatial anchor tile with a
+    dynamically tightening bound.
+
+    Exactness: after every tile, r = max over the block's rows of the
+    current kth distance; a tile whose bbox is farther than √r from the
+    block's bbox cannot improve any row's top-k (per-row entry needs
+    d < run_d[row, k-1] ≤ r ≤ gap² of the tile), so skipping it never
+    changes the result. Visiting outward from the anchor makes r tighten
+    within the first few tiles on Morton-coherent clouds, after which
+    distant tiles cost one scalar branch each. Ties are kept in
+    brute-force order by the lexicographic insert.
+    """
+
+    def kernel(
+        tb_ref, an_ref, t_ref, q_ref, idx_ref, dist_ref, rd, ri, rbound
+    ):
+        """tb_ref: SMEM [1, n_tt*8] thin-tile bboxes; an_ref: SMEM
+        [1, nQB] per-query-block anchor tile; t_ref: VMEM [8, MP]
+        (rows x,y,z); q_ref: VMEM [BQ, 8]; outputs [BQ, k];
+        rd/ri: VMEM scratch [BQ, k] running top-k (mutated in place so
+        the visit loop carries NOTHING — a cond that carries the [BQ,k]
+        lists costs ~4 µs/trip in copies and made the pruned kernel
+        SLOWER than the dense one); rbound: SMEM scratch [1] current
+        max-kth-distance bound."""
+        qi = pl.program_id(0)
+        n_tt = tb_ref.shape[1] // 8
+        bq = q_ref.shape[0]
+
+        qx = q_ref[:, 0:1]
+        qy = q_ref[:, 1:2]
+        qz = q_ref[:, 2:3]
+        # Valid-query bbox (padded rows carry col 3 = 0).
+        val = q_ref[:, 3:4] > 0.5
+        qlo_x = jnp.min(jnp.where(val, qx, _BIG))
+        qlo_y = jnp.min(jnp.where(val, qy, _BIG))
+        qlo_z = jnp.min(jnp.where(val, qz, _BIG))
+        qhi_x = jnp.max(jnp.where(val, qx, -_BIG))
+        qhi_y = jnp.max(jnp.where(val, qy, -_BIG))
+        qhi_z = jnp.max(jnp.where(val, qz, -_BIG))
+
+        anchor = an_ref[0, qi]
+        zero = jnp.float32(0.0)
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (bq, ts), 1)
+
+        rd[:] = jnp.full((bq, k), _BIG, jnp.float32)
+        ri[:] = jnp.full((bq, k), jnp.int32(2**30), jnp.int32)
+        rbound[0] = jnp.float32(_BIG)
+
+        def visit(t, carry):
+            # Outward order: 0, +1, -1, +2, -2, ... from the anchor.
+            # Shift/bitand instead of // and %: jnp.floor_divide's
+            # sign/rem lowering is unsupported in Mosaic.
+            t32 = t.astype(jnp.int32)
+            step = jax.lax.shift_right_logical(t32 + 1, 1)
+            odd = jax.lax.bitwise_and(t32, 1)
+            j = anchor + jnp.where(odd == 1, step, -step)
+            o = j * 8
+            in_range = (j >= 0) & (j < n_tt)
+            oc = jnp.where(in_range, o, 0)
+            gx = jnp.maximum(
+                zero,
+                jnp.maximum(tb_ref[0, oc + 0] - qhi_x, qlo_x - tb_ref[0, oc + 3]),
+            )
+            gy = jnp.maximum(
+                zero,
+                jnp.maximum(tb_ref[0, oc + 1] - qhi_y, qlo_y - tb_ref[0, oc + 4]),
+            )
+            gz = jnp.maximum(
+                zero,
+                jnp.maximum(tb_ref[0, oc + 2] - qhi_z, qlo_z - tb_ref[0, oc + 5]),
+            )
+            gap2 = gx * gx + gy * gy + gz * gz
+            live = in_range & ~(gap2 > rbound[0])
+
+            @pl.when(live)
+            def _():
+                base = j * ts
+                tx = t_ref[0:1, pl.ds(base, ts)]
+                ty = t_ref[1:2, pl.ds(base, ts)]
+                tz = t_ref[2:3, pl.ds(base, ts)]
+                dx = qx - tx
+                dy = qy - ty
+                dz = qz - tz
+                d2 = dx * dx + dy * dy + dz * dz  # [BQ, ts]
+                col = col0 + base
+                run_d = rd[:]
+                run_i = ri[:]
+                for _ in range(k):
+                    m = jnp.min(d2, axis=1, keepdims=True)
+                    midx = jnp.min(
+                        jnp.where(d2 <= m, col, jnp.int32(2**30)),
+                        axis=1, keepdims=True,
+                    )
+                    d2 = jnp.where(col == midx, _BIG, d2)
+                    run_d, run_i = _insert_sorted_lex(run_d, run_i, m, midx)
+                rd[:] = run_d
+                ri[:] = run_i
+                rbound[0] = jnp.max(run_d[:, k - 1:k])
+
+            return carry
+
+        # unroll=1: Mosaic would otherwise unroll the static-trip loop
+        # and stack every iteration's [BQ, ts] temporaries in VMEM.
+        jax.lax.fori_loop(0, 2 * n_tt, visit, 0, unroll=1)
+        dist_ref[:] = rd[:]
+        idx_ref[:] = ri[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+def knn_pallas_pruned(
+    target_points: jax.Array,
+    query_points: jax.Array,
+    k: int,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN with Morton-sorted bbox tile pruning.
+
+    Same result contract as `knn_pallas` / brute force (ascending
+    distance, ties by lower original index), but the per-query work
+    scales with the LOCAL point density instead of M: the target is
+    Morton-sorted once, each 128-query block walks thin tiles outward
+    from its spatial anchor, and stops paying compute as soon as the
+    block's worst kth distance is closer than the remaining tiles'
+    bboxes. On spatially coherent clouds (any real scan) this is the
+    self-kNN covariance-estimation engine (the reference runs N KdTree
+    queries — util/normal_estimation.hpp:66-92).
+
+    f32 TPU path; target must fit VMEM ([8, M] f32 — M ≤ ~400k rows).
+    """
+    if k > 64:
+        raise ValueError(f"knn_pallas_pruned supports k<=64, got {k}")
+    from small_gicp_tpu.ops.knn_window import morton_codes32
+
+    m = target_points.shape[0]
+    q = query_points.shape[0]
+    ts = 256
+    while (m + ts - 1) // ts > 384:
+        ts *= 2
+    mp = (m + ts - 1) // ts * ts
+    block_q = min(block_q, (q + 63) // 64 * 64)
+    qp = (q + block_q - 1) // block_q * block_q
+
+    tc = jnp.clip(target_points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
+    t_finite = jnp.all(jnp.abs(tc) < 1.0e8, axis=-1, keepdims=True)
+    t_origin = jnp.min(jnp.where(t_finite, tc, jnp.inf), axis=0)
+    t_origin = jnp.where(jnp.isfinite(t_origin), t_origin, 0.0)
+    tcode = morton_codes32(tc, 1.0, origin=t_origin)
+    tcode_s, tperm = jax.lax.sort(
+        (tcode, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    tc = tc[tperm]
+    if mp != m:
+        tc = jnp.concatenate(
+            [tc, jnp.full((mp - m, 3), 1.0e12, jnp.float32)], axis=0
+        )
+
+    # Thin-tile bboxes over finite rows.
+    n_tt = mp // ts
+    tcoord = tc.reshape(n_tt, ts, 3)
+    finite = jnp.all(jnp.abs(tcoord) < 1.0e8, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(finite, tcoord, _BIG), axis=1)
+    hi = jnp.max(jnp.where(finite, tcoord, -_BIG), axis=1)
+    tb = jnp.concatenate(
+        [lo, hi, jnp.zeros((n_tt, 2), jnp.float32)], axis=1
+    ).reshape(1, n_tt * 8)
+
+    # Per-query-block anchors: median Morton insertion position → tile.
+    qc_f = query_points[:, :3].astype(jnp.float32)
+    qvalid = jnp.all(jnp.abs(qc_f) < 1.0e8, axis=-1)
+    qcode = morton_codes32(
+        jnp.where(qvalid[:, None], qc_f, jnp.inf), 1.0, origin=t_origin
+    )
+    pos = jnp.clip(
+        jnp.searchsorted(tcode_s, qcode).astype(jnp.int32), 0, m - 1
+    )
+    if qp != q:
+        pos = jnp.concatenate([pos, jnp.zeros((qp - q,), jnp.int32)], axis=0)
+    pos_blocks = jnp.sort(pos.reshape(qp // block_q, block_q), axis=1)
+    anchors = (
+        pos_blocks[:, block_q // 2] // jnp.int32(ts)
+    ).astype(jnp.int32)[None, :]  # [1, nQB]
+
+    qc = jnp.where(qvalid[:, None], qc_f, 0.0)
+    qtab = jnp.concatenate(
+        [qc, qvalid[:, None].astype(jnp.float32),
+         jnp.zeros((q, 4), jnp.float32)],
+        axis=1,
+    )
+    if qp != q:
+        qtab = jnp.concatenate(
+            [qtab, jnp.zeros((qp - q, 8), jnp.float32)], axis=0
+        )
+
+    t = jnp.concatenate([tc, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+
+    grid = (qp // block_q,)
+    with jax.enable_x64(False):
+        idx, dist = pl.pallas_call(
+            _make_knn_pruned_kernel(k, ts),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (8, mp), lambda qi: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_q, 8), lambda qi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (block_q, k), lambda qi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_q, k), lambda qi: (qi, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, k), jnp.int32),
+                jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),
+            ],
+            interpret=interpret,
+        )(tb, anchors, t, qtab)
+
+    # Map sorted-frame winners back to original target row ids.
+    idx = tperm[jnp.minimum(idx[:q], m - 1)]
+    return dist[:q].astype(query_points.dtype), idx
+
+
 def _make_knn_kernel(k: int):
     """Fused kNN kernel: k extraction passes over a VMEM-resident
     distance tile, merging into a running sorted [BQ, k] top-k list.

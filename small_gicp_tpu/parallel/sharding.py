@@ -128,35 +128,73 @@ def align_point_sharded(
 ) -> RegistrationResult:
     """One registration with the SOURCE point axis sharded across chips.
 
-    The target is replicated; each chip searches correspondences for its
-    source shard and contributes a partial (H, b, e); GSPMD reduces them
-    with a psum over ICI (the collective analog of the OMP per-thread
-    accumulator join, reduction_omp.hpp:32-58).
+    Explicit shard_map + psum, not GSPMD auto-partitioning: each chip
+    searches correspondences for its local source shard against the
+    replicated target and contributes a partial (H, b, e, inliers, LM
+    trial errors); align_impl psums them over the mesh axis
+    (psum_axis), so every chip takes identical optimizer decisions —
+    the collective analog of the OMP per-thread accumulator join
+    (reduction_omp.hpp:32-58), with 43 floats + K trial errors per
+    iteration as the ONLY inter-chip traffic. (The auto-partitioned
+    form measured up to 5.5x replicated-work overhead on the virtual
+    mesh — apps/scaling_benchmark.py — which explicit collectives
+    eliminate.)
     """
     axis = mesh.axis_names[0]
-    point_shard = NamedSharding(mesh, P(axis))  # shard axis 0 = points
-    repl = NamedSharding(mesh, P())
-
-    source = source.replace(
-        points=jax.device_put(source.points, point_shard),
-        normals=None
-        if source.normals is None
-        else jax.device_put(source.normals, point_shard),
-        covs=None if source.covs is None else jax.device_put(source.covs, point_shard),
-        num_points=jax.device_put(source.num_points, repl),
-    )
-    target = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), target)
-    init_T = jax.device_put(jnp.asarray(init_T), repl)
+    n = source.points.shape[0]
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n % n_dev != 0:
+        raise ValueError(
+            f"source capacity {n} must be a multiple of the mesh size "
+            f"{n_dev} (pad the cloud with PointCloud.with_capacity)"
+        )
+    try:  # moved to jax.shard_map in newer JAX
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     def fn(t, s, T0):
-        # use_fused="never": like _batched_align_fn above, the fused
-        # Pallas kernel's pallas_call cannot be partitioned by GSPMD
-        # along the sharded point axis — on a TPU mesh the auto-routing
-        # would otherwise either fail to compile or silently all-gather
-        # the source onto every chip.
-        return align_impl(t, s, None, T0, use_fused="never", **kwargs)
+        # Per-shard valid prefix: global validity is a row prefix, so
+        # shard k's local count is clamp(num_points - k*rows, 0, rows).
+        rows = s.points.shape[0]
+        k = jax.lax.axis_index(axis)
+        local_num = jnp.clip(
+            s.num_points - k.astype(jnp.int32) * rows, 0, rows
+        ).astype(jnp.int32)
+        s = s.replace(num_points=local_num)
+        return align_impl(
+            t, s, None, T0, use_fused="never", psum_axis=axis, **kwargs
+        )
 
-    return jax.jit(fn)(target, source, init_T)
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(), target),
+        # shard array leaves on their first axis; num_points replicated
+        jax.tree_util.tree_map(lambda _: P(axis), source).replace(
+            num_points=P()
+        ),
+        P(),
+    )
+    init_T = jnp.asarray(init_T)
+    out_specs = jax.tree_util.tree_map(
+        lambda _: P(),
+        jax.eval_shape(
+            lambda t, s, T0: align_impl(
+                t, s, None, T0, use_fused="never", **kwargs
+            ),
+            target, source, init_T,
+        ),
+    )
+    try:
+        fn_sharded = shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older JAX spelling
+        fn_sharded = shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+    return jax.jit(fn_sharded)(target, source, init_T)
 
 
 def stack_clouds(clouds) -> PointCloud:

@@ -122,3 +122,50 @@ def test_pallas_knn_small_cloud_padding(rng):
     assert np.all(d[:, :3] < 100.0)
     assert np.all(d[:, 3:] > 1e16)
     np.testing.assert_array_equal(i[:, 0], np.arange(3))
+
+
+@pytest.mark.smoke
+def test_pruned_knn_matches_bruteforce(rng):
+    """knn_pallas_pruned: exact parity with brute force on coherent and
+    adversarial clouds (interpret mode; the compiled kernel is covered
+    by the TPU lane / bench selfcheck)."""
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas_pruned
+
+    # coherent LiDAR-ish target, queries = jittered subset (self-like)
+    m, qn, k = 1500, 700, 10
+    tp = rng.uniform(-20, 20, size=(m, 3)).astype(np.float32)
+    tp[:, 2] = np.sin(tp[:, 0] * 0.4) + 0.05 * rng.normal(size=m)
+    qp = tp[rng.permutation(m)[:qn]] + rng.normal(
+        scale=0.05, size=(qn, 3)
+    ).astype(np.float32)
+    d, i = knn_pallas_pruned(
+        jnp.asarray(np.c_[tp, np.ones(m, np.float32)]),
+        jnp.asarray(np.c_[qp, np.ones(qn, np.float32)]),
+        k, interpret=True,
+    )
+    d_ref, i_ref = brute_force_knn_numpy(
+        tp.astype(np.float64), qp.astype(np.float64), k
+    )
+    assert np.array_equal(np.asarray(i), i_ref)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_pruned_knn_duplicates_and_padding(rng):
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas_pruned
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    # exact duplicates: tie order must match brute force (lowest index)
+    base = rng.uniform(-3, 3, size=(40, 3)).astype(np.float32)
+    tp = np.concatenate([base, base, base])  # every point x3
+    cloud = PointCloud.from_points(tp).with_capacity(160)  # padded target
+    q = base[:16] + 0.01
+    d, i = knn_pallas_pruned(
+        cloud.points, jnp.asarray(np.c_[q, np.ones(16, np.float32)]),
+        6, interpret=True,
+    )
+    d_ref, i_ref = brute_force_knn_numpy(
+        tp.astype(np.float64), q.astype(np.float64), 6
+    )
+    assert np.array_equal(np.asarray(i), i_ref)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-7)
