@@ -19,6 +19,12 @@ import os
 import sys
 
 
+JIT_ENGINES = (
+    "gicp_model", "gicp_model_fused", "vgicp_model", "vgicp_model_fused",
+    "plane_icp_model", "gicp_scan", "plane_icp_scan", "icp_scan",
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     from small_gicp_tpu.models.odometry import ENGINES
 
@@ -35,7 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="covariance-estimation neighbors (default: 20)")
     p.add_argument("--downsampling_resolution", type=float, default=0.25)
     p.add_argument("--voxel_resolution", type=float, default=2.0)
-    p.add_argument("--engine", default="small_gicp", choices=sorted(ENGINES))
+    p.add_argument(
+        "--engine", default="small_gicp",
+        choices=sorted(ENGINES) + sorted(JIT_ENGINES),
+        help="small_* = per-frame streaming engines (reference registry "
+             "parity; each frame pays host round trips — slow over a "
+             "tunneled device); the others run models/odometry_scan's "
+             "fully-jitted lax.scan loop with frames preloaded to HBM "
+             "(the production path)",
+    )
     p.add_argument("--max_scans", type=int, default=None,
                    help="only process the first N scans")
     p.add_argument("--max_scan_points", type=int, default=131072)
@@ -100,11 +114,33 @@ def main(argv=None) -> int:
         num_offsets=args.num_offsets,
         predict_motion=args.predict_motion,
     )
-    odom = create_odometry(args.engine, params)
+    if args.engine in JIT_ENGINES:
+        # Fully-jitted loop: whole chunks of frames run as ONE XLA
+        # program with frames staged in HBM (models/odometry_scan).
+        import numpy as np
 
-    poses = odom.estimate(list(load_scans(args.dataset_path, args.max_scans)))
-    print(f"num_frames={len(poses)}")
-    print(odom.report())
+        from small_gicp_tpu.models.odometry_scan import JitOdometry
+        from small_gicp_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+        odom = JitOdometry(params, engine=args.engine, chunk_frames=16)
+        frames = [np.asarray(f) for f in load_scans(args.dataset_path,
+                                                    args.max_scans)]
+        frames_dev, counts_dev = odom.preload(frames)
+        poses = odom.feed_preloaded(frames_dev, counts_dev,
+                                    n_real=len(frames))
+        steady = odom.chunk_times_ms[1:] or odom.chunk_times_ms
+        ms = float(np.mean(steady)) / odom.chunk_frames
+        print(f"num_frames={len(poses)}")
+        print(f"registration_time_stats={ms:.3f} [msec/scan] "
+              "(steady-state, frames preloaded to HBM)")
+    else:
+        odom = create_odometry(args.engine, params)
+        poses = odom.estimate(
+            list(load_scans(args.dataset_path, args.max_scans))
+        )
+        print(f"num_frames={len(poses)}")
+        print(odom.report())
 
     write_trajectory(args.output_path, poses)
     print(f"saved={args.output_path}")

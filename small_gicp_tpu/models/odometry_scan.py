@@ -513,7 +513,12 @@ class JitOdometry:
                 jax.lax.dynamic_slice_in_dim(frames_dev, start, fc),
                 jax.lax.dynamic_slice_in_dim(counts_dev, start, fc),
             )
-            jax.block_until_ready(poses_chunk)
+            # device_get of one scalar, not block_until_ready: the
+            # tunneled dev runtime's block_until_ready can return before
+            # remote execution finishes, which silently voids the
+            # per-chunk timing (a 4-byte fetch forces a real sync and is
+            # noise on any runtime).
+            jax.device_get(poses_chunk[-1, 3, 3])
             self.chunk_times_ms.append((_time.perf_counter() - t0) * 1e3)
             out.append(poses_chunk)
         if out:

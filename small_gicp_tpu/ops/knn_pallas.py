@@ -114,113 +114,78 @@ def _insert_sorted_lex(run_d, run_i, m, mi):
     return new_d, new_i
 
 
-def _make_knn_pruned_kernel(k: int, ts: int):
-    """Pruned exact kNN kernel: ONE grid step per query block, whole
-    Morton-sorted target VMEM-resident, in-kernel fori over thin tiles
-    visited OUTWARD from the block's spatial anchor tile with a
-    dynamically tightening bound.
+def _make_knn_listed_kernel(k: int, ts: int, L: int):
+    """List-driven exact kNN kernel: ONE grid step per query block, the
+    Morton-sorted target VMEM-resident, fori over a caller-computed
+    compact list of thin tiles (dynamic trip count). The caller runs it
+    twice: a SEED pass over each block's anchor neighborhood, then —
+    after deriving each block's kth-distance bound in XLA and selecting
+    the remaining tiles whose bbox gap is within it — a COMPLETION pass
+    seeded with the pass-1 state. Exact: any candidate that could enter
+    a row's top-k lies within the block's max kth distance, hence in a
+    listed (or already-seeded) tile. In-kernel `pl.when` pruning is NOT
+    used — it predicates instead of branching in Mosaic rolled loops
+    (measured; see ops/gicp_fused_pallas._fused_kernel_listed).
 
-    Exactness: after every tile, r = max over the block's rows of the
-    current kth distance; a tile whose bbox is farther than √r from the
-    block's bbox cannot improve any row's top-k (per-row entry needs
-    d < run_d[row, k-1] ≤ r ≤ gap² of the tile), so skipping it never
-    changes the result. Visiting outward from the anchor makes r tighten
-    within the first few tiles on Morton-coherent clouds, after which
-    distant tiles cost one scalar branch each. Ties are kept in
-    brute-force order by the lexicographic insert.
+    A block whose count exceeds L rescans ALL tiles from a FRESH state
+    (the seed results are discarded so no candidate is inserted twice).
+    Ties are kept in brute-force order by the lexicographic insert, so
+    the result is independent of tile visit order.
     """
 
     def kernel(
-        tb_ref, an_ref, t_ref, q_ref, idx_ref, dist_ref, rd, ri, rbound
+        lists_ref, counts_ref, t_ref, q_ref, d0_ref, i0_ref,
+        idx_ref, dist_ref, rd, ri,
     ):
-        """tb_ref: SMEM [1, n_tt*8] thin-tile bboxes; an_ref: SMEM
-        [1, nQB] per-query-block anchor tile; t_ref: VMEM [8, MP]
-        (rows x,y,z); q_ref: VMEM [BQ, 8]; outputs [BQ, k];
-        rd/ri: VMEM scratch [BQ, k] running top-k (mutated in place so
-        the visit loop carries NOTHING — a cond that carries the [BQ,k]
-        lists costs ~4 µs/trip in copies and made the pruned kernel
-        SLOWER than the dense one); rbound: SMEM scratch [1] current
-        max-kth-distance bound."""
+        """lists_ref: SMEM [1, nQB*L] tile ids; counts_ref: SMEM
+        [1, nQB] (count > L => fresh full scan); t_ref: VMEM [8, MP];
+        q_ref: VMEM [BQ, 8]; d0_ref/i0_ref: VMEM [BQ, k] initial state;
+        outputs [BQ, k]; rd/ri: VMEM scratch [BQ, k]."""
         qi = pl.program_id(0)
-        n_tt = tb_ref.shape[1] // 8
+        mp = t_ref.shape[1]
+        n_tt = mp // ts
         bq = q_ref.shape[0]
+
+        cnt = counts_ref[0, qi]
+        use_list = cnt <= L
+        n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
+        rd[:] = jnp.where(use_list, d0_ref[:], jnp.float32(_BIG))
+        ri[:] = jnp.where(use_list, i0_ref[:], jnp.int32(2**30))
 
         qx = q_ref[:, 0:1]
         qy = q_ref[:, 1:2]
         qz = q_ref[:, 2:3]
-        # Valid-query bbox (padded rows carry col 3 = 0).
-        val = q_ref[:, 3:4] > 0.5
-        qlo_x = jnp.min(jnp.where(val, qx, _BIG))
-        qlo_y = jnp.min(jnp.where(val, qy, _BIG))
-        qlo_z = jnp.min(jnp.where(val, qz, _BIG))
-        qhi_x = jnp.max(jnp.where(val, qx, -_BIG))
-        qhi_y = jnp.max(jnp.where(val, qy, -_BIG))
-        qhi_z = jnp.max(jnp.where(val, qz, -_BIG))
-
-        anchor = an_ref[0, qi]
-        zero = jnp.float32(0.0)
         col0 = jax.lax.broadcasted_iota(jnp.int32, (bq, ts), 1)
 
-        rd[:] = jnp.full((bq, k), _BIG, jnp.float32)
-        ri[:] = jnp.full((bq, k), jnp.int32(2**30), jnp.int32)
-        rbound[0] = jnp.float32(_BIG)
-
         def visit(t, carry):
-            # Outward order: 0, +1, -1, +2, -2, ... from the anchor.
-            # Shift/bitand instead of // and %: jnp.floor_divide's
-            # sign/rem lowering is unsupported in Mosaic.
-            t32 = t.astype(jnp.int32)
-            step = jax.lax.shift_right_logical(t32 + 1, 1)
-            odd = jax.lax.bitwise_and(t32, 1)
-            j = anchor + jnp.where(odd == 1, step, -step)
-            o = j * 8
-            in_range = (j >= 0) & (j < n_tt)
-            oc = jnp.where(in_range, o, 0)
-            gx = jnp.maximum(
-                zero,
-                jnp.maximum(tb_ref[0, oc + 0] - qhi_x, qlo_x - tb_ref[0, oc + 3]),
+            jl = jnp.where(
+                use_list,
+                lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+                t.astype(jnp.int32),
             )
-            gy = jnp.maximum(
-                zero,
-                jnp.maximum(tb_ref[0, oc + 1] - qhi_y, qlo_y - tb_ref[0, oc + 4]),
-            )
-            gz = jnp.maximum(
-                zero,
-                jnp.maximum(tb_ref[0, oc + 2] - qhi_z, qlo_z - tb_ref[0, oc + 5]),
-            )
-            gap2 = gx * gx + gy * gy + gz * gz
-            live = in_range & ~(gap2 > rbound[0])
-
-            @pl.when(live)
-            def _():
-                base = j * ts
-                tx = t_ref[0:1, pl.ds(base, ts)]
-                ty = t_ref[1:2, pl.ds(base, ts)]
-                tz = t_ref[2:3, pl.ds(base, ts)]
-                dx = qx - tx
-                dy = qy - ty
-                dz = qz - tz
-                d2 = dx * dx + dy * dy + dz * dz  # [BQ, ts]
-                col = col0 + base
-                run_d = rd[:]
-                run_i = ri[:]
-                for _ in range(k):
-                    m = jnp.min(d2, axis=1, keepdims=True)
-                    midx = jnp.min(
-                        jnp.where(d2 <= m, col, jnp.int32(2**30)),
-                        axis=1, keepdims=True,
-                    )
-                    d2 = jnp.where(col == midx, _BIG, d2)
-                    run_d, run_i = _insert_sorted_lex(run_d, run_i, m, midx)
-                rd[:] = run_d
-                ri[:] = run_i
-                rbound[0] = jnp.max(run_d[:, k - 1:k])
-
+            base = jl * ts
+            dx = qx - t_ref[0:1, pl.ds(base, ts)]
+            dy = qy - t_ref[1:2, pl.ds(base, ts)]
+            dz = qz - t_ref[2:3, pl.ds(base, ts)]
+            d2 = dx * dx + dy * dy + dz * dz  # [BQ, ts]
+            col = col0 + base
+            run_d = rd[:]
+            run_i = ri[:]
+            for _ in range(k):
+                m = jnp.min(d2, axis=1, keepdims=True)
+                midx = jnp.min(
+                    jnp.where(d2 <= m, col, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                d2 = jnp.where(col == midx, _BIG, d2)
+                run_d, run_i = _insert_sorted_lex(run_d, run_i, m, midx)
+            rd[:] = run_d
+            ri[:] = run_i
             return carry
 
-        # unroll=1: Mosaic would otherwise unroll the static-trip loop
-        # and stack every iteration's [BQ, ts] temporaries in VMEM.
-        jax.lax.fori_loop(0, 2 * n_tt, visit, 0, unroll=1)
+        # unroll=1: Mosaic would otherwise unroll and stack every
+        # iteration's [BQ, ts] temporaries in VMEM.
+        jax.lax.fori_loop(0, n_iter, visit, 0, unroll=1)
         dist_ref[:] = rd[:]
         idx_ref[:] = ri[:]
 
@@ -315,40 +280,95 @@ def knn_pallas_pruned(
 
     t = jnp.concatenate([tc, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
 
-    grid = (qp // block_q,)
-    with jax.enable_x64(False):
-        idx, dist = pl.pallas_call(
-            _make_knn_pruned_kernel(k, ts),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (8, mp), lambda qi: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (block_q, 8), lambda qi: (qi, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (block_q, k), lambda qi: (qi, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (block_q, k), lambda qi: (qi, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((qp, k), jnp.int32),
-                jax.ShapeDtypeStruct((qp, k), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.int32),
-                pltpu.SMEM((1,), jnp.float32),
-            ],
-            interpret=interpret,
-        )(tb, anchors, t, qtab)
+    n_qb = qp // block_q
+    grid = (n_qb,)
+
+    def run_pass(lists, counts, L, d0, i0):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                _make_knn_listed_kernel(k, ts, L),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (8, mp), lambda qi: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (block_q, 8), lambda qi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (block_q, k), lambda qi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (block_q, k), lambda qi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (block_q, k), lambda qi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (block_q, k), lambda qi: (qi, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((qp, k), jnp.int32),
+                    jax.ShapeDtypeStruct((qp, k), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, k), jnp.float32),
+                    pltpu.VMEM((block_q, k), jnp.int32),
+                ],
+                interpret=interpret,
+            )(lists, counts, t, qtab, d0, i0)
+
+    # --- pass 1: seed each block from its anchor neighborhood ---------
+    n_seed = min(5, n_tt)
+    anc = anchors[0]  # [nQB]
+    cand = anc[:, None] + jnp.arange(-(n_seed // 2), (n_seed + 1) // 2)[None, :]
+    seed_valid = (cand >= 0) & (cand < n_tt)
+    seed_key = jnp.where(seed_valid, cand, jnp.int32(2**30))
+    seed_lists = jnp.sort(seed_key, axis=1).astype(jnp.int32)  # packed
+    seed_counts = jnp.sum(seed_valid, axis=1).astype(jnp.int32)
+    big_d = jnp.full((qp, k), _BIG, jnp.float32)
+    big_i = jnp.full((qp, k), jnp.int32(2**30), jnp.int32)
+    i1, d1 = run_pass(
+        seed_lists.reshape(1, -1), seed_counts[None, :], n_seed, big_d, big_i
+    )
+
+    # --- XLA: per-block kth-distance bound -> live-tile lists ---------
+    r = jnp.max(d1[:, k - 1].reshape(n_qb, block_q), axis=1)  # [nQB]
+    # Query-block bboxes (valid rows only) for gap tests.
+    qb = qtab[:, :3].reshape(n_qb, block_q, 3)
+    vb = (qtab[:, 3] > 0.5).reshape(n_qb, block_q, 1)
+    lo_q = jnp.min(jnp.where(vb, qb, _BIG), axis=1)  # [nQB, 3]
+    hi_q = jnp.max(jnp.where(vb, qb, -_BIG), axis=1)
+    tbr = tb.reshape(n_tt, 8)
+    gaps = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            tbr[None, :, 0:3] - hi_q[:, None, :],
+            lo_q[:, None, :] - tbr[None, :, 3:6],
+        ),
+    )
+    gap2 = jnp.sum(gaps * gaps, axis=-1)  # [nQB, n_tt]
+    seeded = jnp.zeros((n_qb, n_tt), bool).at[
+        jnp.arange(n_qb)[:, None], jnp.clip(cand, 0, n_tt - 1)
+    ].set(True)
+    live = ~(gap2 > r[:, None]) & ~seeded  # NaN-safe keep
+    counts2 = jnp.sum(live, axis=1).astype(jnp.int32)
+    L2 = min(n_tt, 96)
+    key2 = jnp.where(live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30))
+    lists2 = jnp.sort(key2, axis=1)[:, :L2].reshape(1, n_qb * L2)
+
+    # --- pass 2: complete from the seeded state over listed tiles -----
+    idx, dist = run_pass(lists2, counts2[None, :], L2, d1, i1)
 
     # Map sorted-frame winners back to original target row ids.
     idx = tperm[jnp.minimum(idx[:q], m - 1)]
