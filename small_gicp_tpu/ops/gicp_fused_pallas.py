@@ -391,7 +391,7 @@ def _fused_finalize(
 
 def _fused_kernel_listed(
     nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref, acc_ref,
-    best_d, best_pay, *, ts: int, L: int, transposed: bool,
+    best_d, best_pay, *, ts: int, L: int, transposed: bool, qdim: int = 0,
 ):
     """List-driven variant of _fused_kernel: the WHOLE (Morton-sorted)
     target is VMEM-resident, grid = (query_blocks,), and each block
@@ -407,8 +407,12 @@ def _fused_kernel_listed(
     counts_ref: SMEM [1, nQB] live counts — a count > L means the
     block overflowed the list and scans ALL tiles (exact fallback);
     t_ref: VMEM [MP,16]; q_ref: VMEM [16,BQ]; outputs as _fused_kernel.
+
+    qdim: which grid axis is the query-block axis (0 for the single-pair
+    grid=(n_qb,) path; 1 for the fleet grid=(lanes, n_qb) path, where the
+    per-lane SMEM rows are sliced in by the BlockSpecs).
     """
-    qi = pl.program_id(0)
+    qi = pl.program_id(qdim)
     bq = q_ref.shape[1]
     mp = t_ref.shape[1] if transposed else t_ref.shape[0]
     n_tt = mp // ts
@@ -493,16 +497,16 @@ def _fused_kernel_listed(
     )
 
 
-def _sizes(m: int, n: int, block_q: int, block_m: int):
+def _sizes(m: int, n: int, block_q: int, block_m: int,
+           ts: int = _TS_DEFAULT):
     """Static tiling decisions shared by prepare and linearize.
 
-    Thin-tile size: smallest ts that keeps the SMEM bbox table ≤384
-    tiles; superblock = whole target up to the VMEM cap (the in-kernel
-    fori walks it in ts-row tiles, so DMA steps stay few while pruning
-    stays fine-grained).
+    Thin-tile size: smallest ts (starting from the requested one) that
+    keeps the SMEM bbox table ≤384 tiles; superblock = whole target up
+    to the VMEM cap (the in-kernel fori walks it in ts-row tiles, so
+    DMA steps stay few while pruning stays fine-grained).
     """
-    mp0 = (m + _TS_DEFAULT - 1) // _TS_DEFAULT * _TS_DEFAULT
-    ts = _TS_DEFAULT
+    mp0 = (m + ts - 1) // ts * ts
     while mp0 // ts > 384:
         ts *= 2
     block_m = min(max(block_m, _BM_CAP), (m + ts - 1) // ts * ts)
@@ -513,7 +517,7 @@ def _sizes(m: int, n: int, block_q: int, block_m: int):
     return ts, block_m, block_q, mp, qp
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "sort"))
+@partial(jax.jit, static_argnames=("block_q", "block_m", "sort", "ts"))
 def gicp_prepare(
     target_points: jax.Array,  # [M,4]
     target_covs: jax.Array,  # [M,3,3]
@@ -523,6 +527,7 @@ def gicp_prepare(
     block_q: int = 512,
     block_m: int = 1024,
     sort: bool = True,
+    ts: int = _TS_DEFAULT,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """ONE-TIME per-align preparation for the fused kernel.
 
@@ -545,7 +550,7 @@ def gicp_prepare(
 
     m = target_points.shape[0]
     n = source_points.shape[0]
-    ts, block_m, block_q, mp, qp = _sizes(m, n, block_q, block_m)
+    ts, block_m, block_q, mp, qp = _sizes(m, n, block_q, block_m, ts)
 
     tc = jnp.clip(target_points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
     valid = (jnp.arange(n, dtype=jnp.int32) < num_points).astype(jnp.float32)
@@ -644,7 +649,7 @@ def gicp_linearize_tables(
     qp = qtab.shape[1]
     n_tt = tb.shape[1] // 8
     ts = mp // n_tt
-    _, block_m, block_q, mp2, qp2 = _sizes(mp, qp, block_q, block_m)
+    _, block_m, block_q, mp2, qp2 = _sizes(mp, qp, block_q, block_m, ts)
     assert mp2 == mp and qp2 == qp, "tables not produced by gicp_prepare"
 
     Tf = T.astype(jnp.float32)
@@ -964,3 +969,280 @@ def gicp_error_multi_pallas(
     acc_dt = _error_accum_dtype(source_points.dtype)
     per_block = acc[::8, :k1].astype(acc_dt)  # one row per block
     return jnp.sum(per_block, axis=0).astype(acc_dt)
+
+
+# ======================================================================
+# Fleet variants: B resident lanes over U unique prepared pairs.
+#
+# The persistent-lane scheduler (parallel/fleet.py) keeps B lanes busy
+# on a queue of P registration problems; a lane that retires one
+# problem immediately loads the next, so the batch never runs lockstep
+# to its slowest member (the vmapped batch's 1.5x waste). Lanes address
+# their pair's tables IN PLACE through a scalar-prefetch indirection —
+# the lane->pair id rides in SMEM and the BlockSpec index_maps consume
+# it, so switching a lane's problem moves ZERO table bytes.
+# ======================================================================
+
+
+@partial(jax.jit, static_argnames=("block_q", "block_m", "ts"))
+def gicp_fleet_prepare(
+    target_points: jax.Array,  # [U,M,4]
+    target_covs: jax.Array,  # [U,M,3,3]
+    source_points: jax.Array,  # [U,N,4]
+    source_covs: jax.Array,  # [U,N,3,3]
+    num_points: jax.Array,  # [U] valid source rows
+    block_q: int = 512,
+    block_m: int = 1024,
+    ts: int = _TS_DEFAULT,
+) -> Tuple[jax.Array, ...]:
+    """gicp_prepare over U stacked pairs + per-query-block bboxes.
+
+    Returns (ttabs [U,MP,16], tbs [U,n_tt*8], qtabs [U,16,QP],
+    qbbs [U,n_qb,6]). qbbs are the UNtransformed per-block source
+    bboxes over valid rows; the fleet linearize transforms their 8
+    corners per lane pose (a superset of the per-point transformed
+    bbox, so tile pruning stays exactness-preserving) instead of
+    re-reducing QP transformed points every round.
+    """
+    ttabs, tbs, qtabs, _srcs, _sperm, _ttabTs = jax.vmap(
+        lambda tp, tc, sp, sc, n: gicp_prepare(
+            tp, tc, sp, sc, n, block_q=block_q, block_m=block_m, ts=ts
+        )
+    )(target_points, target_covs, source_points, source_covs, num_points)
+    tbs = tbs.reshape(tbs.shape[0], -1)  # [U,1,n_tt*8] -> [U,n_tt*8]
+
+    u, _, qp = qtabs.shape
+    n_qb = qp // block_q
+    xyz = qtabs[:, 0:3, :].reshape(u, 3, n_qb, block_q)
+    val = (qtabs[:, 12:13, :] > 0.5).reshape(u, 1, n_qb, block_q)
+    lo = jnp.min(jnp.where(val, xyz, _BIG), axis=-1)  # [U,3,n_qb]
+    hi = jnp.max(jnp.where(val, xyz, -_BIG), axis=-1)
+    qbbs = jnp.concatenate(
+        [lo.transpose(0, 2, 1), hi.transpose(0, 2, 1)], axis=-1
+    )  # [U,n_qb,6]
+    return ttabs, tbs, qtabs, qbbs
+
+
+def _fleet_live_lists(tbs, qbbs, uids, Ts, max_dist_sq, active, L):
+    """Per-lane live thin-tile lists from bbox gap tests (XLA side).
+
+    Transforms each query block's 8 bbox corners by the lane pose — a
+    superset of the transformed per-point bbox, so pruning on it is
+    exactness-preserving — and keeps tiles whose gap to that box is
+    within the rejector radius. Inactive lanes get empty lists (their
+    kernel trip count is 0; the finalize masks everything out)."""
+    f32 = jnp.float32
+    Tf = Ts.astype(f32)
+    R = Tf[:, :3, :3]  # [B,3,3]
+    tv = Tf[:, :3, 3]  # [B,3]
+    qbb = qbbs[uids]  # [B,n_qb,6]
+    lo, hi = qbb[..., :3], qbb[..., 3:]
+    ok_blk = jnp.all(lo <= hi, axis=-1)  # [B,n_qb]; inverted = no valid rows
+    # 8 corners [B,n_qb,8,3]
+    combo = jnp.asarray(
+        [[(c >> a) & 1 for a in range(3)] for c in range(8)], f32
+    )  # [8,3]
+    corners = (
+        lo[:, :, None, :] * (1.0 - combo)[None, None]
+        + hi[:, :, None, :] * combo[None, None]
+    )
+    tc = (
+        jnp.einsum("bij,bqcj->bqci", R, corners,
+                   precision=jax.lax.Precision.HIGHEST)
+        + tv[:, None, None, :]
+    )
+    tlo = jnp.where(ok_blk[..., None], jnp.min(tc, axis=2), _BIG)
+    thi = jnp.where(ok_blk[..., None], jnp.max(tc, axis=2), -_BIG)
+
+    b, n_tt = tbs[uids].shape[0], tbs.shape[1] // 8
+    tbr = tbs[uids].reshape(b, n_tt, 8)
+    gaps = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            tbr[:, None, :, 0:3] - thi[:, :, None, :],
+            tlo[:, :, None, :] - tbr[:, None, :, 3:6],
+        ),
+    )  # [B,n_qb,n_tt,3]
+    gap2 = jnp.sum(gaps * gaps, axis=-1)
+    live = ~(gap2 > jnp.asarray(max_dist_sq, f32))  # NaN-safe keep
+    live = live & active[:, None, None]
+    counts = jnp.sum(live, axis=-1).astype(jnp.int32)  # [B,n_qb]
+    key = jnp.where(
+        live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30)
+    )
+    lists = jnp.sort(key, axis=-1)[..., :L].reshape(b, -1)
+    return lists, counts
+
+
+@partial(jax.jit, static_argnames=("block_q", "interpret"))
+def gicp_linearize_fleet(
+    ttabs: jax.Array,  # [U,MP,16] from gicp_fleet_prepare
+    tbs: jax.Array,  # [U,n_tt*8]
+    qtabs: jax.Array,  # [U,16,QP]
+    qbbs: jax.Array,  # [U,n_qb,6]
+    uids: jax.Array,  # [B] lane -> pair id
+    Ts: jax.Array,  # [B,4,4]
+    max_dist_sq,
+    active: jax.Array,  # [B] bool
+    block_q: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Per-round fused search+linearize for B lanes over U pairs.
+
+    One pallas_call with grid (B, n_qb): lane b's target/source table
+    blocks are DMA'd straight from ttabs[uids[b]] / qtabs[uids[b]] via
+    scalar-prefetch index_maps (no gather materializes per-lane
+    copies). Returns (H [B,6,6] f32, b [B,6], inliers [B],
+    corr16 [B,16,QP]) — per-lane, same contract as
+    gicp_linearize_tables.
+    """
+    u, mp, _ = ttabs.shape
+    qp = qtabs.shape[2]
+    n_tt = tbs.shape[1] // 8
+    ts = mp // n_tt
+    n_qb = qp // block_q
+    bsz = uids.shape[0]
+    if mp > 65536:
+        raise ValueError(
+            "gicp_linearize_fleet keeps row-major [MP,16] targets "
+            f"VMEM-resident; MP={mp} exceeds the 65536-row cap "
+            "(use the single-pair map-scale path)"
+        )
+    L = min(n_tt, 96)
+
+    lists, counts = _fleet_live_lists(
+        tbs, qbbs, uids, Ts, max_dist_sq, active, L
+    )
+
+    Tf = Ts.astype(jnp.float32)
+    nt = jnp.concatenate(
+        [
+            Tf[:, :3, :3].reshape(bsz, 9),
+            Tf[:, :3, 3],
+            jnp.broadcast_to(
+                jnp.asarray(max_dist_sq, jnp.float32).reshape(1, 1),
+                (bsz, 1),
+            ),
+            jnp.zeros((bsz, 7), jnp.float32),
+        ],
+        axis=1,
+    )  # [B,20]
+
+    kernel = partial(
+        _fused_kernel_listed, ts=ts, L=L, transposed=False, qdim=1
+    )
+
+    def fleet_kernel(uids_ref, nt_ref, lists_ref, counts_ref, t_ref,
+                     q_ref, corr_ref, acc_ref, best_d, best_pay):
+        del uids_ref  # consumed by the index_maps
+        kernel(nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref,
+               acc_ref, best_d, best_pay)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 20), lambda b, qi, u: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_qb * L), lambda b, qi, u: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_qb), lambda b, qi, u: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, mp, 16), lambda b, qi, u: (u[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (u[b], 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda b, qi, u: (b * n_qb + qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((16, block_q), jnp.float32),
+        ],
+    )
+    with jax.enable_x64(False):
+        corr, acc = pl.pallas_call(
+            fleet_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, 16, qp), jnp.float32),
+                jax.ShapeDtypeStruct((bsz * n_qb * 8, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(uids.astype(jnp.int32), nt, lists, counts, ttabs, qtabs)
+
+    sums = (
+        jnp.sum(acc.reshape(bsz, n_qb * 8, 128), axis=1) / 8.0
+    )  # [B,128]; 8 replicated rows per block
+    H = sums[:, :36].reshape(bsz, 6, 6)
+    b = sums[:, 36:42]
+    inliers = sums[:, 43]
+    return H, b, inliers, corr
+
+
+@partial(jax.jit, static_argnames=("block_q", "interpret"))
+def gicp_error_multi_fleet(
+    corr16: jax.Array,  # [B,16,QP] from gicp_linearize_fleet
+    qtabs: jax.Array,  # [U,16,QP] (rows 0-2 = source xyz)
+    uids: jax.Array,  # [B]
+    Ts: jax.Array,  # [B,K1,4,4] per-lane poses (current first)
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B,K1] frozen-correspondence errors for B lanes in one kernel.
+
+    Per-lane equivalent of gicp_error_multi_pallas; the source xyz rows
+    are read from the lane's pair table via scalar prefetch, and the
+    mask rides in corr16 row 12 (it already includes validity).
+    """
+    bsz, k1 = Ts.shape[0], Ts.shape[1]
+    if k1 > 100:
+        raise ValueError("at most 100 poses per call")
+    qp = corr16.shape[2]
+    block_q = min(block_q, qp)
+    n_qb = qp // block_q
+
+    Tf = Ts.astype(jnp.float32)
+    ps = jnp.concatenate(
+        [Tf[:, :, :3, :3].reshape(bsz, k1, 9), Tf[:, :, :3, 3]], axis=-1
+    ).reshape(bsz, k1 * 12)  # [B, 12*K1]
+
+    def fleet_kernel(uids_ref, ps_ref, c_ref, q_ref, acc_ref):
+        del uids_ref
+        _trials_kernel(ps_ref, c_ref, q_ref, acc_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 12 * k1), lambda b, qi, u: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (u[b], 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda b, qi, u: (b * n_qb + qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    with jax.enable_x64(False):
+        acc = pl.pallas_call(
+            fleet_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz * n_qb * 8, 128), jnp.float32
+            ),
+            interpret=interpret,
+        )(uids.astype(jnp.int32), ps, corr16, qtabs)
+
+    from small_gicp_tpu.models.factors import _error_accum_dtype
+
+    acc_dt = _error_accum_dtype(jnp.float32)
+    per_block = acc.reshape(bsz, n_qb, 8, 128)[:, :, 0, :k1].astype(acc_dt)
+    return jnp.sum(per_block, axis=1)
