@@ -409,19 +409,24 @@ def _fused_kernel_listed(
     t_ref: VMEM [MP,16]; q_ref: VMEM [16,BQ]; outputs as _fused_kernel.
 
     qdim: which grid axis is the query-block axis (0 for the single-pair
-    grid=(n_qb,) path; 1 for the fleet grid=(lanes, n_qb) path, where the
-    per-lane SMEM rows are sliced in by the BlockSpecs).
+    grid=(n_qb,) path; 1 for the fleet grid=(lanes, n_qb) path). On the
+    fleet path the SMEM operands arrive as FULL [B, ...] arrays and the
+    kernel picks its lane's row with program_id(0): Mosaic rejects
+    lane-blocked SMEM windows (block shape (1, w) over [B, w] fails the
+    "second-to-last dim divisible by 8 or full" rule), and SMEM scalar
+    reads at a dynamic row offset are free anyway.
     """
     qi = pl.program_id(qdim)
+    li = pl.program_id(0) if qdim else 0
     bq = q_ref.shape[1]
     mp = t_ref.shape[1] if transposed else t_ref.shape[0]
     n_tt = mp // ts
 
-    r00, r01, r02 = nt_ref[0, 0], nt_ref[0, 1], nt_ref[0, 2]
-    r10, r11, r12 = nt_ref[0, 3], nt_ref[0, 4], nt_ref[0, 5]
-    r20, r21, r22 = nt_ref[0, 6], nt_ref[0, 7], nt_ref[0, 8]
-    tx, ty, tz = nt_ref[0, 9], nt_ref[0, 10], nt_ref[0, 11]
-    max_d2 = nt_ref[0, 12]
+    r00, r01, r02 = nt_ref[li, 0], nt_ref[li, 1], nt_ref[li, 2]
+    r10, r11, r12 = nt_ref[li, 3], nt_ref[li, 4], nt_ref[li, 5]
+    r20, r21, r22 = nt_ref[li, 6], nt_ref[li, 7], nt_ref[li, 8]
+    tx, ty, tz = nt_ref[li, 9], nt_ref[li, 10], nt_ref[li, 11]
+    max_d2 = nt_ref[li, 12]
 
     px = q_ref[0:1, :]
     py = q_ref[1:2, :]
@@ -433,7 +438,7 @@ def _fused_kernel_listed(
     best_d[:] = jnp.full_like(best_d, _BIG)
     best_pay[:] = jnp.zeros_like(best_pay)
 
-    cnt = counts_ref[0, qi]
+    cnt = counts_ref[li, qi]
     use_list = cnt <= L
     n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
     row = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
@@ -441,7 +446,7 @@ def _fused_kernel_listed(
     def tile_body(t, carry):
         jl = jnp.where(
             use_list,
-            lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+            lists_ref[li, qi * L + jnp.minimum(t, L - 1)],
             t.astype(jnp.int32),
         )
         if transposed:
@@ -848,7 +853,7 @@ def gicp_linearize_pallas(
     return H, b, mu, W, mask, sq, corr16, sorted_src
 
 
-def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
+def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False):
     """All LM trial errors in one pass.
 
     ps_ref: SMEM [1, 12*(K+1)] rows of [R row-major 9 | t 3] per pose
@@ -857,7 +862,12 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
     3-11 W row-major, 12 mask); q_ref: VMEM [16, BQ] source block
     (rows 0-2 p); acc_ref: [8, 128] out — cols 0..K hold the block's
     error sums for each pose (8 replicated rows, caller divides).
+
+    lane=True is the fleet path: ps_ref is the FULL [B, 12*K1] SMEM
+    array (lane-blocked SMEM windows fail Mosaic's block-shape check)
+    and the kernel reads its lane's row at program_id(0).
     """
+    li = pl.program_id(0) if lane else 0
     k1 = ps_ref.shape[1] // 12
 
     px = q_ref[0:1, :]
@@ -872,7 +882,7 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref):
     rows = []
     for k in range(k1):
         o = 12 * k
-        p_ = lambda j: ps_ref[0, o + j]
+        p_ = lambda j: ps_ref[li, o + j]
         qx = p_(0) * px + p_(1) * py + p_(2) * pz + p_(9)
         qy = p_(3) * px + p_(4) * py + p_(5) * pz + p_(10)
         qz = p_(6) * px + p_(7) * py + p_(8) * pz + p_(11)
@@ -1138,16 +1148,18 @@ def gicp_linearize_fleet(
         kernel(nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref,
                acc_ref, best_d, best_pay)
 
+    # The three per-lane operands ride in SMEM as FULL [B, ...] arrays
+    # (the kernel indexes its lane's row with program_id(0)): Mosaic
+    # rejects lane-blocked SMEM windows — block (1, w) over [B, w]
+    # fails the "second-to-last dim divisible by 8 or full" check.
+    # SMEM footprint is dominated by lists: B * n_qb * L i32.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_qb),
         in_specs=[
-            pl.BlockSpec((1, 20), lambda b, qi, u: (b, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_qb * L), lambda b, qi, u: (b, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_qb), lambda b, qi, u: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, mp, 16), lambda b, qi, u: (u[b], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (u[b], 0, qi),
@@ -1213,14 +1225,14 @@ def gicp_error_multi_fleet(
 
     def fleet_kernel(uids_ref, ps_ref, c_ref, q_ref, acc_ref):
         del uids_ref
-        _trials_kernel(ps_ref, c_ref, q_ref, acc_ref)
+        _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane=True)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_qb),
         in_specs=[
-            pl.BlockSpec((1, 12 * k1), lambda b, qi, u: (b, 0),
-                         memory_space=pltpu.SMEM),
+            # Full [B, 12*K1] SMEM row table (see _trials_kernel lane=True).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (b, 0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (u[b], 0, qi),
