@@ -283,7 +283,28 @@ def main():
         bbest = min(bbest, time.perf_counter() - t0)
     batch_reg_per_sec = B * BREPS / bbest
 
-    reg_per_sec = max(scan_reg_per_sec, batch_reg_per_sec)
+    # Fleet (persistent-lane) mode: P problems streamed through B
+    # resident lanes — no lockstep (a converged lane refills from the
+    # queue the same round) and the pair's prepared tables are shared
+    # by every lane at zero copy cost (parallel/fleet.py).
+    from small_gicp_tpu.parallel.fleet import align_fleet
+
+    P = n_iters
+
+    @jax.jit
+    def run_fleet(init_Ts):
+        r = align_fleet(target, source, init_Ts, num_lanes=B)
+        return jnp.sum(r.T_target_source, axis=0), r.iterations
+
+    jax.device_get(run_fleet(poses))
+    fbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run_fleet(poses)[0])
+        fbest = min(fbest, time.perf_counter() - t0)
+    fleet_reg_per_sec = P / fbest
+
+    reg_per_sec = max(scan_reg_per_sec, batch_reg_per_sec, fleet_reg_per_sec)
     print(
         json.dumps(
             {
@@ -293,6 +314,7 @@ def main():
                 "vs_baseline": round(reg_per_sec / REFERENCE_SINGLE_THREAD_REG_PER_SEC, 3),
                 "scan_mode": round(scan_reg_per_sec, 3),
                 "batch_mode_b32": round(batch_reg_per_sec, 3),
+                "fleet_mode_b32": round(fleet_reg_per_sec, 3),
                 "baseline_reg_per_sec_measured_this_host": REFERENCE_SINGLE_THREAD_REG_PER_SEC,
                 "selfcheck": "pass",
             }

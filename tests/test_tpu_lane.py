@@ -174,3 +174,51 @@ def test_fused_engines_on_chip(rng):
         )
         poses = odo.feed(scans)
         assert abs(poses[-1][0, 3] - 2.0) < 0.1, (engine, poses[-1][0, 3])
+
+
+@requires_tpu
+def test_fleet_align_compiled_matches_sequential(bundled_pair):
+    """align_fleet (compiled fleet kernels; full-array SMEM rows indexed
+    by the lane program id — Mosaic rejects lane-blocked SMEM windows)
+    matches the per-problem align_impl scan pose-for-pose on chip."""
+    import small_gicp_tpu as sgt
+    from small_gicp_tpu.models.registration import align_impl
+    from small_gicp_tpu.parallel.fleet import align_fleet
+    from small_gicp_tpu.utils.lie import se3_exp
+
+    target_raw, source_raw, _ = bundled_pair
+    target, target_tree = sgt.preprocess_points(
+        target_raw.astype(np.float32), 0.5, num_neighbors=10,
+        max_points=4096,
+    )
+    source, _ = sgt.preprocess_points(
+        source_raw.astype(np.float32), 0.5, num_neighbors=10,
+        max_points=4096,
+    )
+    rng = np.random.default_rng(7)
+    P = 6
+    poses = jnp.stack([
+        se3_exp(jnp.asarray(
+            np.r_[rng.normal(size=3) * 0.03, rng.normal(size=3) * 0.2],
+            jnp.float32,
+        ))
+        for _ in range(P)
+    ])
+
+    r = align_fleet(target, source, poses, num_lanes=4, interpret=False)
+
+    @jax.jit
+    def run_seq(init_Ts):
+        def step(c, T0):
+            rr = align_impl(target, source, target_tree, T0,
+                            registration_type="gicp")
+            return c, (rr.converged, rr.iterations, rr.T_target_source)
+        _, outs = jax.lax.scan(step, 0, init_Ts)
+        return outs
+
+    conv_s, it_s, T_s = jax.device_get(run_seq(poses))
+    assert np.array_equal(np.asarray(r.converged), conv_s)
+    assert np.array_equal(np.asarray(r.iterations), it_s)
+    np.testing.assert_allclose(
+        np.asarray(r.T_target_source), T_s, atol=2e-3
+    )
