@@ -34,37 +34,59 @@ REFERENCE_SINGLE_THREAD_REG_PER_SEC = 61.21  # measured; see module docstring
 DATA = "/root/reference/data"
 
 
-def _arm_backend_watchdog(seconds: float = 240.0):
-    """The tunneled TPU backend hangs jax.devices() indefinitely when
-    the tunnel is down (observed multi-hour outages). Rather than hang
-    the driver, exit with a diagnostic after `seconds` unless the
-    backend came up. Returns a cancel() callable."""
-    import threading
+class _Watchdog:
+    """The tunneled TPU backend can hang ANY device interaction
+    indefinitely when the tunnel degrades — observed failure modes are
+    jax.devices() never returning (round 2, multi-hour outage) and
+    backend init succeeding while every computation stalls with zero
+    CPU use (round 3). Rather than hang the driver, each phase of this
+    benchmark arms a deadline; if the phase doesn't complete in time, a
+    diagnostic JSON line (value=null, the phase name) is printed and
+    the process exits non-zero so the round records WHY there is no
+    number."""
 
-    ok = threading.Event()
+    def __init__(self):
+        import threading
 
-    def watch():
-        if not ok.wait(seconds):
-            print(
-                json.dumps(
-                    {
-                        "metric": "gicp_registrations_per_sec_single_chip",
-                        "value": None,
-                        "unit": "registrations/s (bundled pair, 0.25m downsample)",
-                        "vs_baseline": None,
-                        "error": f"TPU backend did not initialize within {seconds:.0f}s (tunnel down?)",
-                    }
-                ),
-                flush=True,
-            )
-            os._exit(3)
+        self._lock = threading.Lock()
+        self._deadline = None  # (monotonic deadline, phase label)
+        threading.Thread(target=self._watch, daemon=True).start()
 
-    threading.Thread(target=watch, daemon=True).start()
-    return ok.set
+    def phase(self, label: str, seconds: float):
+        with self._lock:
+            self._deadline = (time.monotonic() + seconds, label, seconds)
+
+    def cancel(self):
+        with self._lock:
+            self._deadline = None
+
+    def _watch(self):
+        while True:
+            time.sleep(2.0)
+            with self._lock:
+                d = self._deadline
+            if d is not None and time.monotonic() > d[0]:
+                print(
+                    json.dumps(
+                        {
+                            "metric": "gicp_registrations_per_sec_single_chip",
+                            "value": None,
+                            "unit": "registrations/s (bundled pair, 0.25m downsample)",
+                            "vs_baseline": None,
+                            "error": (
+                                f"TPU stalled in phase '{d[1]}' "
+                                f"(> {d[2]:.0f}s; tunnel degraded?)"
+                            ),
+                        }
+                    ),
+                    flush=True,
+                )
+                os._exit(3)
 
 
 def main():
-    cancel_watchdog = _arm_backend_watchdog()
+    dog = _Watchdog()
+    dog.phase("backend init", 240)
     import jax
 
     # int64 voxel keys need x64 enabled (the TPU backend handles s64;
@@ -84,7 +106,12 @@ def main():
     from small_gicp_tpu.models.registration import align_impl
 
     jax.devices()  # force backend init while the watchdog is armed
-    cancel_watchdog()
+
+    # Probe that the chip actually EXECUTES (init alone can succeed on
+    # a degraded tunnel that then stalls every computation).
+    dog.phase("device compute probe", 180)
+    probe = jax.jit(lambda x: (x @ x).sum())(jnp.ones((256, 256), np.float32))
+    float(jax.device_get(probe))
 
     dtype = np.float32
     target_raw = sgt.read_ply(os.path.join(DATA, "target.ply")).astype(dtype)
@@ -207,6 +234,9 @@ def main():
                     f"{dt:.3f} m / converged={bool(r.converged)}")
         return None
 
+    # Cold compiles over the tunnel can take minutes; warm-cache runs
+    # take seconds. The budgets below are sized for cold compiles.
+    dog.phase("selfcheck (Pallas kernels vs XLA oracles)", 900)
     fail = selfcheck()
     if fail is not None:
         print(json.dumps({
@@ -241,6 +271,7 @@ def main():
         )
         return acc, iters
 
+    dog.phase("sequential scan mode (compile + 4 runs)", 900)
     poses = jnp.stack([noise() for _ in range(n_iters)])
     jax.device_get(run_many(poses))  # warmup / compile
 
@@ -272,6 +303,7 @@ def main():
         acc, iters = jax.lax.scan(step, jnp.zeros((4, 4), dtype), init_Ts_all)
         return acc, iters
 
+    dog.phase("batched mode (compile + 4 runs)", 900)
     bposes = jnp.stack(
         [jnp.stack([noise() for _ in range(B)]) for _ in range(BREPS)]
     )
@@ -296,6 +328,7 @@ def main():
         r = align_fleet(target, source, init_Ts, num_lanes=B)
         return jnp.sum(r.T_target_source, axis=0), r.iterations
 
+    dog.phase("fleet mode (compile + 4 runs)", 900)
     jax.device_get(run_fleet(poses))
     fbest = float("inf")
     for _ in range(3):
@@ -304,6 +337,7 @@ def main():
         fbest = min(fbest, time.perf_counter() - t0)
     fleet_reg_per_sec = P / fbest
 
+    dog.cancel()
     reg_per_sec = max(scan_reg_per_sec, batch_reg_per_sec, fleet_reg_per_sec)
     print(
         json.dumps(
