@@ -68,6 +68,15 @@ from small_gicp_tpu.interop import (
     from_ros_msg,
     to_ros_msg,
 )
+from small_gicp_tpu.pcl_interop import (
+    pcl_dtype,
+    from_pcl,
+    to_pcl,
+    PCL_POINT_XYZ,
+    PCL_POINT_NORMAL,
+    PCL_POINT_COVARIANCE,
+    PCL_POINT_NORMAL_COVARIANCE,
+)
 from small_gicp_tpu.models.helper import (
     RegistrationSetting,
     preprocess_points,
@@ -112,6 +121,13 @@ __all__ = [
     "to_pointcloud2",
     "from_ros_msg",
     "to_ros_msg",
+    "pcl_dtype",
+    "from_pcl",
+    "to_pcl",
+    "PCL_POINT_XYZ",
+    "PCL_POINT_NORMAL",
+    "PCL_POINT_COVARIANCE",
+    "PCL_POINT_NORMAL_COVARIANCE",
     "RegistrationSetting",
     "preprocess_points",
     "create_gaussian_voxelmap",

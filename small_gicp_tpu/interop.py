@@ -208,8 +208,10 @@ def as_point_cloud(obj, capacity: Optional[int] = None) -> PointCloud:
     if hasattr(obj, "detach"):  # torch tensor without importing torch
         obj = obj.detach().cpu().numpy()
     arr = np.asarray(obj)
-    if arr.dtype.names:  # structured array with x/y/z fields
-        arr = np.stack([arr["x"], arr["y"], arr["z"]], axis=1)
+    if arr.dtype.names:  # structured array (incl. PCL binary layouts)
+        from small_gicp_tpu.pcl_interop import from_pcl
+
+        return from_pcl(arr, capacity=capacity)
     return PointCloud.from_points(arr, capacity=capacity)
 
 

@@ -6,6 +6,8 @@ Hessian sanity)."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 import small_gicp_tpu as sgt
 from small_gicp_tpu.interop import (
     RegistrationTPU,
@@ -219,3 +221,110 @@ def test_ros_msg_adapter_roundtrip(rng):
     bad = types.SimpleNamespace(fields=fields[:2], data=msg.data, point_step=12)
     with pytest.raises(ValueError, match="lacks field"):
         from_ros_msg(bad)
+
+
+# ----------------------------------------------------------------------
+# PCL binary-layout interop (reference pcl/pcl_point.hpp:13-39,
+# pcl/pcl_point_traits.hpp:14-34)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.smoke
+def test_pcl_layout_sizes_match_pcl_structs():
+    """Byte layouts must match the PCL structs exactly: PCL_ADD_POINT4D
+    = 16 B, pcl::PointNormal = 48 B, reference PointCovariance
+    = 16 + sizeof(Eigen::Matrix4f) = 80 B, PointNormalCovariance 96 B."""
+    from small_gicp_tpu import pcl_dtype
+
+    assert pcl_dtype("xyz").itemsize == 16
+    assert pcl_dtype("normal").itemsize == 48
+    assert pcl_dtype("covariance").itemsize == 80
+    assert pcl_dtype("normal_covariance").itemsize == 96
+    assert pcl_dtype("covariance").fields["cov"][1] == 16
+    assert pcl_dtype("normal_covariance").fields["cov"][1] == 32
+    with pytest.raises(ValueError):
+        pcl_dtype("nope")
+
+
+@pytest.mark.smoke
+def test_pcl_round_trip_all_layouts(rng):
+    from small_gicp_tpu import PointCloud, from_pcl, to_pcl
+
+    n = 37
+    pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    a = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    covs = a @ a.transpose(0, 2, 1)  # symmetric PSD
+
+    cloud = PointCloud.from_points(pts)
+    normals4 = np.zeros((n, 4), np.float32)
+    normals4[:, :3] = nrm
+    cloud = cloud.replace(
+        normals=jnp.asarray(normals4), covs=jnp.asarray(covs)
+    )
+
+    for kind, has_n, has_c in [
+        ("xyz", False, False),
+        ("normal", True, False),
+        ("covariance", False, True),
+        ("normal_covariance", True, True),
+    ]:
+        arr = to_pcl(cloud, kind)
+        assert arr.dtype.itemsize == {"xyz": 16, "normal": 48,
+                                      "covariance": 80,
+                                      "normal_covariance": 96}[kind]
+        back = from_pcl(arr)
+        np.testing.assert_allclose(back.points_numpy()[:, :3], pts,
+                                   rtol=1e-6)
+        assert back.has_normals == has_n and back.has_covs == has_c
+        if has_n:
+            np.testing.assert_allclose(
+                back.normals_numpy()[:, :3], nrm, rtol=1e-6)
+        if has_c:
+            np.testing.assert_allclose(back.covs_numpy(), covs, rtol=1e-6)
+
+        # raw-bytes path: what a memcpy of pcl::PointCloud<T>.points gives
+        back2 = from_pcl(arr.tobytes(), kind=kind)
+        np.testing.assert_array_equal(
+            back2.points_numpy(), back.points_numpy())
+
+
+def test_pcl_default_layout_is_richest(rng):
+    from small_gicp_tpu import PointCloud, to_pcl
+
+    pts = rng.uniform(-1, 1, (8, 3))
+    assert to_pcl(PointCloud.from_points(pts)).dtype.itemsize == 16
+    c = PointCloud.from_points(pts).replace(
+        covs=jnp.zeros((8, 3, 3), np.float64))
+    assert to_pcl(c).dtype.itemsize == 80
+    with pytest.raises(ValueError):
+        to_pcl(PointCloud.from_points(pts), "covariance")  # covs missing
+
+
+def test_pcl_buffer_feeds_registration(pair):
+    """A PCL-layout covariance buffer drives RegistrationTPU end-to-end
+    (the workflow of the reference's RegistrationPCL with
+    setSourceCovariances, pcl_registration.hpp:65-80)."""
+    from small_gicp_tpu import to_pcl, from_pcl
+
+    tgt, src, T_gt = pair
+    # serialize both preprocessed clouds through the PCL binary layout
+    reg = RegistrationTPU()
+    reg.setInputTarget(from_pcl(to_pcl(tgt, "covariance").tobytes(),
+                                kind="covariance"))
+    reg.setInputSource(from_pcl(to_pcl(src, "covariance")))
+    # covariances survived the buffer, so align() uses them as-is
+    T = reg.align()
+    _check(T, T_gt)
+
+
+def test_as_point_cloud_routes_pcl_layouts(rng):
+    from small_gicp_tpu import as_point_cloud, to_pcl, PointCloud
+
+    pts = rng.uniform(-2, 2, (16, 3))
+    c = PointCloud.from_points(pts).replace(
+        covs=jnp.ones((16, 3, 3), np.float64))
+    back = as_point_cloud(to_pcl(c))
+    assert back.has_covs
+    np.testing.assert_allclose(back.points_numpy()[:, :3], pts, rtol=1e-6)
