@@ -108,10 +108,49 @@ def main():
     jax.devices()  # force backend init while the watchdog is armed
 
     # Probe that the chip actually EXECUTES (init alone can succeed on
-    # a degraded tunnel that then stalls every computation).
-    dog.phase("device compute probe", 180)
+    # a degraded tunnel that then stalls every computation), and measure
+    # the tunnel's per-sync latency: the degraded-tunnel failure mode of
+    # 2026-08-20 is a healthy compute path with ~100 s PER device_get.
+    # Every timed phase below ends in exactly one device_get, so the
+    # sync latency is measured per rep and subtracted when it dominates
+    # (recorded in the output JSON either way).
+    # The FIRST device_get of a process has been observed to take 100-460 s
+    # on a degraded tunnel (one-time transfer-path setup, worse under
+    # concurrent device users); later syncs drop back to ~30 ms. The probe
+    # budget covers that one-time cost; lam below measures the steady state.
+    dog.phase("device compute probe", 600)
     probe = jax.jit(lambda x: (x @ x).sum())(jnp.ones((256, 256), np.float32))
     float(jax.device_get(probe))
+
+    def sync_latency():
+        t0 = time.perf_counter()
+        float(jax.device_get(probe))  # cached 4-byte fetch: pure transport
+        return time.perf_counter() - t0
+
+    lam = min(sync_latency(), sync_latency())
+    degraded = lam > 1.0
+    if degraded:
+        print(
+            f"# tunnel degraded: {lam:.1f}s per device sync — timing "
+            "reps will subtract per-rep sync latency",
+            file=sys.stderr, flush=True,
+        )
+
+    def timed_reps(fn, n_reps=3):
+        """min over reps of (elapsed - per-rep sync latency when the
+        tunnel is degraded). fn() must end in one device_get."""
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            fn()
+            elapsed = time.perf_counter() - t0
+            if degraded:
+                elapsed = max(elapsed - sync_latency(), 1e-6)
+            best = min(best, elapsed)
+        return best
+
+    def budget(base, n_syncs):
+        return base + lam * n_syncs * 2.5  # 2.5x headroom on observed latency
 
     dtype = np.float32
     target_raw = sgt.read_ply(os.path.join(DATA, "target.ply")).astype(dtype)
@@ -164,6 +203,11 @@ def main():
         t_xyz = target.points[:, :3]
         q_sub = source.points[:512]
 
+        # Launch every check's programs first, then fetch ALL results in
+        # ONE device_get (async host copies pipeline through the tunnel,
+        # so the per-sync latency is paid once, not once per array —
+        # essential when the tunnel degrades to ~100 s per round trip).
+
         # 1) Pallas kNN k=20 vs XLA brute force. The XLA oracle's
         #    centered matmul expansion itself carries ~7e-5 absolute d2
         #    error at this cloud's 20 m extent (measured; the Pallas
@@ -188,18 +232,8 @@ def main():
 
         d_p, i_p = knn_pallas(target.points, q_sub[:, :3], 20)
         d_x, i_x = brute_force_knn(t_xyz, q_sub[:, :3], 20)
-        r = _knn_diverges(d_p, i_p, d_x, i_x, "knn_pallas k=20")
-        if r:
-            return r
-
-        # 2) Pallas 1-NN vs XLA.
         d1, i1 = nearest_neighbor_pallas(target.points, q_sub)
-        r = _knn_diverges(d1, i1, d_x[:, 0], i_x[:, 0], "nearest_neighbor_pallas")
-        if r:
-            return r
 
-        # 3) Fused search+linearize vs the XLA correspondence+linearize
-        #    oracle at a perturbed pose.
         from small_gicp_tpu.utils.lie import se3_exp as _exp
         T0 = _exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], dtype))
         md2 = jnp.asarray(1.0, dtype)
@@ -212,31 +246,54 @@ def main():
             target.points, target.covs, source.points, source.covs,
             T0, source.num_points, md2,
         )
-        if not np.array_equal(np.asarray(mask_f), np.asarray(corr.mask)):
+        reg = align_impl(target, source, target_tree, T0,
+                         registration_type="gicp")
+
+        v = jax.device_get({
+            "d_p": d_p, "i_p": i_p, "d_x": d_x, "i_x": i_x,
+            "d1": d1, "i1": i1,
+            "mask_f": mask_f, "mask": corr.mask,
+            "H_f": H_f, "H_ref": H_ref,
+            "Tr": reg.T_target_source, "conv": reg.converged,
+        })
+
+        # 1) Pallas kNN k=20 vs XLA brute force.
+        r = _knn_diverges(v["d_p"], v["i_p"], v["d_x"], v["i_x"],
+                          "knn_pallas k=20")
+        if r:
+            return r
+
+        # 2) Pallas 1-NN vs XLA.
+        r = _knn_diverges(v["d1"], v["i1"], v["d_x"][:, 0], v["i_x"][:, 0],
+                          "nearest_neighbor_pallas")
+        if r:
+            return r
+
+        # 3) Fused search+linearize vs the XLA correspondence+linearize
+        #    oracle at a perturbed pose.
+        if not np.array_equal(v["mask_f"], v["mask"]):
             return "fused kernel mask diverges from XLA correspondence search"
-        scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+        scale = max(1.0, float(np.abs(v["H_ref"]).max()))
         if not np.allclose(
-            np.asarray(H_f) / scale, np.asarray(H_ref) / scale, atol=5e-4
+            v["H_f"] / scale, v["H_ref"] / scale, atol=5e-4
         ):
             return "fused kernel H diverges from XLA linearize"
 
         # 4) One end-to-end align within the reference's own test bound
         #    (registration_test.cpp:144-145).
-        r = align_impl(target, source, target_tree, T0,
-                       registration_type="gicp")
         T_gt = np.loadtxt(os.path.join(DATA, "T_target_source.txt"))
-        Tr = np.asarray(r.T_target_source)
+        Tr = v["Tr"]
         dR = Tr[:3, :3] @ T_gt[:3, :3].T
         ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         dt = np.linalg.norm(Tr[:3, 3] - T_gt[:3, 3])
-        if not (bool(r.converged) and ang < 2.5 and dt < 0.2):
+        if not (bool(v["conv"]) and ang < 2.5 and dt < 0.2):
             return (f"E2E align out of reference bounds: {ang:.2f} deg / "
-                    f"{dt:.3f} m / converged={bool(r.converged)}")
+                    f"{dt:.3f} m / converged={bool(v['conv'])}")
         return None
 
     # Cold compiles over the tunnel can take minutes; warm-cache runs
     # take seconds. The budgets below are sized for cold compiles.
-    dog.phase("selfcheck (Pallas kernels vs XLA oracles)", 900)
+    dog.phase("selfcheck (Pallas kernels vs XLA oracles)", budget(900, 14))
     fail = selfcheck()
     if fail is not None:
         print(json.dumps({
@@ -271,16 +328,14 @@ def main():
         )
         return acc, iters
 
-    dog.phase("sequential scan mode (compile + 4 runs)", 900)
+    n_reps = 2 if degraded else 3
+    dog.phase("sequential scan mode (compile + runs)", budget(900, n_reps * 2 + 2))
     poses = jnp.stack([noise() for _ in range(n_iters)])
     jax.device_get(run_many(poses))  # warmup / compile
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(run_many(poses)[0])
-        best = min(best, time.perf_counter() - t0)
-    scan_reg_per_sec = n_iters / best
+    scan_reg_per_sec = n_iters / timed_reps(
+        lambda: jax.device_get(run_many(poses)[0]), n_reps
+    )
 
     # Batched (throughput) mode: vmapped lanes with distinct noise poses.
     from small_gicp_tpu.parallel.sharding import _batched_align_fn
@@ -303,17 +358,14 @@ def main():
         acc, iters = jax.lax.scan(step, jnp.zeros((4, 4), dtype), init_Ts_all)
         return acc, iters
 
-    dog.phase("batched mode (compile + 4 runs)", 900)
+    dog.phase("batched mode (compile + runs)", budget(900, n_reps * 2 + 2))
     bposes = jnp.stack(
         [jnp.stack([noise() for _ in range(B)]) for _ in range(BREPS)]
     )
     jax.device_get(run_batched(bposes))
-    bbest = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(run_batched(bposes)[0])
-        bbest = min(bbest, time.perf_counter() - t0)
-    batch_reg_per_sec = B * BREPS / bbest
+    batch_reg_per_sec = B * BREPS / timed_reps(
+        lambda: jax.device_get(run_batched(bposes)[0]), n_reps
+    )
 
     # Fleet (persistent-lane) mode: P problems streamed through B
     # resident lanes — no lockstep (a converged lane refills from the
@@ -328,14 +380,11 @@ def main():
         r = align_fleet(target, source, init_Ts, num_lanes=B)
         return jnp.sum(r.T_target_source, axis=0), r.iterations
 
-    dog.phase("fleet mode (compile + 4 runs)", 900)
+    dog.phase("fleet mode (compile + runs)", budget(900, n_reps * 2 + 2))
     jax.device_get(run_fleet(poses))
-    fbest = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(run_fleet(poses)[0])
-        fbest = min(fbest, time.perf_counter() - t0)
-    fleet_reg_per_sec = P / fbest
+    fleet_reg_per_sec = P / timed_reps(
+        lambda: jax.device_get(run_fleet(poses)[0]), n_reps
+    )
 
     dog.cancel()
     reg_per_sec = max(scan_reg_per_sec, batch_reg_per_sec, fleet_reg_per_sec)
@@ -351,6 +400,18 @@ def main():
                 "fleet_mode_b32": round(fleet_reg_per_sec, 3),
                 "baseline_reg_per_sec_measured_this_host": REFERENCE_SINGLE_THREAD_REG_PER_SEC,
                 "selfcheck": "pass",
+                **(
+                    {
+                        "tunnel_sync_latency_s": round(lam, 2),
+                        "timing_note": (
+                            "tunnel degraded: per-rep device sync latency "
+                            "measured and subtracted (pure transport, "
+                            "independent of the computation)"
+                        ),
+                    }
+                    if degraded
+                    else {}
+                ),
             }
         )
     )
