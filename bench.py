@@ -136,16 +136,27 @@ def main():
             file=sys.stderr, flush=True,
         )
 
+    raw_elapsed: list = []  # uncorrected wall times, emitted in the JSON
+
     def timed_reps(fn, n_reps=3):
         """min over reps of (elapsed - per-rep sync latency when the
-        tunnel is degraded). fn() must end in one device_get."""
+        tunnel is degraded). fn() must end in one device_get.
+
+        The correction is clamped: it uses the MEDIAN of three sync
+        samples (a single overshooting sample can't be favored) and never
+        subtracts more than 90% of the measured elapsed time, so a
+        degraded-tunnel run can report at most 10x the honest number —
+        and the uncorrected elapsed times are emitted alongside the
+        headline so the raw data is always visible."""
         best = float("inf")
         for _ in range(n_reps):
             t0 = time.perf_counter()
             fn()
             elapsed = time.perf_counter() - t0
+            raw_elapsed.append(round(elapsed, 4))
             if degraded:
-                elapsed = max(elapsed - sync_latency(), 1e-6)
+                syncs = sorted(sync_latency() for _ in range(3))
+                elapsed = elapsed - min(syncs[1], 0.9 * elapsed)
             best = min(best, elapsed)
         return best
 
@@ -403,10 +414,12 @@ def main():
                 **(
                     {
                         "tunnel_sync_latency_s": round(lam, 2),
+                        "uncorrected_elapsed_s": raw_elapsed,
                         "timing_note": (
                             "tunnel degraded: per-rep device sync latency "
-                            "measured and subtracted (pure transport, "
-                            "independent of the computation)"
+                            "(median of 3 samples, clamped to ≤90% of "
+                            "elapsed) subtracted; uncorrected_elapsed_s "
+                            "carries the raw wall times"
                         ),
                     }
                     if degraded

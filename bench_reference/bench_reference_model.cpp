@@ -1,0 +1,134 @@
+// Measure the reference implementation's SCAN-TO-MODEL odometry
+// (koide3/small_gicp, header-only at /root/reference) on THIS machine,
+// driven by the same on-disk synthetic KITTI dump the TPU engines run on —
+// so BENCHMARK.md's model-odometry table compares like-for-like on
+// identical frames, identical host.
+//
+// Loop semantics = the reference's own model engine
+// (src/benchmark/odometry_benchmark_small_gicp_model_tbb.cpp:22-55), run
+// single-thread (SerialReduction + serial estimate_covariances — this box
+// has 1 core, and the published reference comparisons are 1-thread too):
+//   per frame: voxelgrid_sampling(0.25)            [wrapper, benchmark_odom.hpp:59]
+//              estimate_covariances(k=20)          [model_tbb.cpp:28]
+//              first frame: IncrementalVoxelMap<FlatContainerCov>(1.0).insert
+//              else: Registration<GICPFactor>.align(*vm, *pts, *vm, T_world)
+//                    T_world = result.T_target_source
+//                    vm->insert(*pts, T_world)     [model_tbb.cpp:30-45]
+// reg_time (the reference's registration_time_stats contract) covers
+// covariances -> align -> insert; total adds the downsample.
+//
+// Build (Eigen headers come from the tensorflow wheel on this box):
+//   g++ -O3 -march=native -std=c++17 \
+//       -I/root/reference/include \
+//       -I/opt/venv/lib/python3.12/site-packages/tensorflow/include \
+//       bench_reference_model.cpp -o bench_reference_model
+// Run:
+//   python -m small_gicp_tpu.apps.dump_synthetic_kitti /tmp/synth --frames 300
+//   ./bench_reference_model /tmp/synth /tmp/ref_traj.txt
+//   python -m small_gicp_tpu.apps.odometry_accuracy /tmp/synth/gt.txt /tmp/ref_traj.txt
+#include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <filesystem>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include <small_gicp/benchmark/read_points.hpp>
+#include <small_gicp/points/point_cloud.hpp>
+#include <small_gicp/ann/incremental_voxelmap.hpp>
+#include <small_gicp/ann/flat_container.hpp>
+#include <small_gicp/ann/kdtree.hpp>
+#include <small_gicp/util/downsampling.hpp>
+#include <small_gicp/util/normal_estimation.hpp>
+#include <small_gicp/factors/gicp_factor.hpp>
+#include <small_gicp/registration/reduction.hpp>
+#include <small_gicp/registration/registration.hpp>
+
+using namespace small_gicp;
+namespace fs = std::filesystem;
+using clk = std::chrono::high_resolution_clock;
+
+static double msec(clk::time_point a, clk::time_point b) {
+  return std::chrono::duration<double>(b - a).count() * 1e3;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s <kitti_bin_dir> <out_traj.txt> [max_frames] [leaf]\n", argv[0]);
+    return 1;
+  }
+  const std::string dir = argv[1];
+  const std::string out_path = argv[2];
+  const size_t max_frames = argc > 3 ? std::atoi(argv[3]) : SIZE_MAX;
+  const double leaf = argc > 4 ? std::atof(argv[4]) : 0.25;
+  const int num_neighbors = 20;     // OdometryEstimationParams defaults
+  const double voxel_resolution = 1.0;
+
+  std::vector<std::string> files;
+  for (const auto& e : fs::directory_iterator(dir)) {
+    if (e.path().extension() == ".bin") files.push_back(e.path().string());
+  }
+  std::sort(files.begin(), files.end());
+  if (files.size() > max_frames) files.resize(max_frames);
+  std::printf("frames=%zu leaf=%.2f k=%d voxel=%.1f (single thread)\n",
+              files.size(), leaf, num_neighbors, voxel_resolution);
+
+  IncrementalVoxelMap<FlatContainerCov>::Ptr voxelmap;
+  Eigen::Isometry3d T_world = Eigen::Isometry3d::Identity();
+  std::vector<Eigen::Isometry3d> traj;
+  traj.reserve(files.size());
+
+  double reg_ms_sum = 0.0, total_ms_sum = 0.0;
+  size_t timed = 0;
+
+  for (size_t i = 0; i < files.size(); i++) {
+    const auto raw = read_points(files[i]);
+    auto scan = std::make_shared<PointCloud>(raw);
+
+    const auto t0 = clk::now();
+    auto points = voxelgrid_sampling(*scan, leaf);
+    const auto t1 = clk::now();
+
+    KdTree<PointCloud> tree(points);
+    estimate_covariances(*points, tree, num_neighbors);
+
+    if (voxelmap == nullptr) {
+      voxelmap = std::make_shared<IncrementalVoxelMap<FlatContainerCov>>(voxel_resolution);
+      voxelmap->insert(*points);
+      traj.emplace_back(T_world);
+      continue;
+    }
+
+    Registration<GICPFactor, SerialReduction> registration;
+    auto result = registration.align(*voxelmap, *points, *voxelmap, T_world);
+    T_world = result.T_target_source;
+    voxelmap->insert(*points, T_world);
+    const auto t2 = clk::now();
+
+    traj.emplace_back(T_world);
+    reg_ms_sum += msec(t1, t2);
+    total_ms_sum += msec(t0, t2);
+    timed++;
+    if (i % 50 == 0) {
+      std::printf("  frame %zu: reg %.1f ms (mean %.1f)\n", i, msec(t1, t2), reg_ms_sum / timed);
+      std::fflush(stdout);
+    }
+  }
+
+  // KITTI 3x4-row trajectory, same convention as the TPU engines'
+  // write_trajectory (models/odometry.py), scorable by odometry_accuracy.
+  std::ofstream ofs(out_path);
+  for (const auto& T : traj) {
+    const Eigen::Matrix4d M = T.matrix();
+    for (int r = 0; r < 3; r++)
+      for (int c = 0; c < 4; c++)
+        ofs << M(r, c) << (r == 2 && c == 3 ? "" : " ");
+    ofs << "\n";
+  }
+
+  std::printf("reference_model_odometry: %.2f ms/scan registration stage "
+              "(cov+align+insert), %.2f ms/scan incl. downsample, %zu frames\n",
+              reg_ms_sum / timed, total_ms_sum / timed, timed);
+  return 0;
+}

@@ -100,6 +100,12 @@ def from_pcl(data, kind: Optional[str] = None,
     and covariances present in the layout are carried over; the cov's
     upper-left 3x3 block is kept, matching what the registration math
     reads (reference gicp_factor.hpp:59-60).
+
+    Non-finite points are dropped (their normals/covs with them): real
+    PCL buffers with is_dense=false — organized clouds, raw ROS
+    serializations — routinely carry NaN rows, and the reference's ROS
+    path skips them too (ros/ros_impl.hpp:45-120). NaN coordinates would
+    otherwise bypass the sentinel-padding scheme and poison kNN.
     """
     if isinstance(data, (bytes, bytearray, memoryview)):
         if kind is None:
@@ -117,6 +123,10 @@ def from_pcl(data, kind: Optional[str] = None,
         if req not in names:
             raise ValueError(f"layout lacks field {req!r}; have {names}")
     xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=1)
+    finite = np.isfinite(xyz).all(axis=1)
+    if not finite.all():
+        arr = arr[finite]  # keeps normals/covs aligned with xyz
+        xyz = xyz[finite]
     cloud = PointCloud.from_points(xyz, capacity=capacity)
     n, cap = len(arr), cloud.capacity
     dt = np.dtype(cloud.dtype)
@@ -125,7 +135,12 @@ def from_pcl(data, kind: Optional[str] = None,
         for i, f in enumerate(("normal_x", "normal_y", "normal_z")):
             normals[:n, i] = arr[f]
         cloud = cloud.replace(normals=jnp.asarray(normals))
-    if "cov" in names:
+    # Only treat 'cov' as a covariance field when it has the PCL (4,4)
+    # subarray shape (or an already-trimmed (3,3)); a structured array
+    # that happens to name some other field 'cov' falls back to plain
+    # xyz extraction instead of mis-slicing.
+    cov_shape = arr.dtype.fields["cov"][0].shape if "cov" in names else None
+    if cov_shape in ((4, 4), (3, 3)):
         covs = np.zeros((cap, 3, 3), dt)
         covs[:n] = arr["cov"][:, :3, :3]
         cloud = cloud.replace(covs=jnp.asarray(covs))

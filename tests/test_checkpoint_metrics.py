@@ -157,3 +157,55 @@ def test_wrong_capacity_checkpoint_raises_clean_error(tmp_path):
     odo2.estimate(frames[:1])  # warm state, same as the save-side contract
     with pytest.raises(ValueError, match="map_capacity|leaf"):
         load_odometry_state(path, odo2)
+
+
+def test_resume_survives_treedef_repr_change(tmp_path):
+    """Structure checks are by per-leaf key paths (schema v2), NOT by
+    str(treedef) — a jax/flax upgrade that changes the treedef repr must
+    not brick legitimate resumes. Simulated by corrupting the stored
+    (debug-only) __treedef__ bytes: load must still succeed."""
+    vm = GaussianVoxelMap.empty(1.0, capacity=128)
+    path = str(tmp_path / "vm.npz")
+    save_pytree(path, vm)
+
+    data = dict(np.load(path))
+    assert int(data["__schema_version__"]) >= 2
+    data["__treedef__"] = np.frombuffer(
+        b"PyTreeDef(from-some-future-jax-version)", dtype=np.uint8
+    )
+    np.savez(path, **data)
+
+    vm2 = load_pytree(path, GaussianVoxelMap.empty(1.0, capacity=128))
+    np.testing.assert_array_equal(
+        np.asarray(vm.dir_keys), np.asarray(vm2.dir_keys)
+    )
+
+
+def test_structure_mismatch_fails_by_leaf_names(tmp_path):
+    """A checkpoint whose leaf NAMES differ from the template's must
+    hard-fail with a name-level diff, whatever the treedef repr says."""
+    path = str(tmp_path / "d.npz")
+    save_pytree(path, {"pose": np.eye(4), "stamp": np.zeros(3)})
+    with pytest.raises(ValueError, match="leaf names"):
+        load_pytree(path, {"pose": np.eye(4), "velocity": np.zeros(3)})
+
+
+def test_resume_estimate_frame_driven(tmp_path):
+    """Resume must be exact for callers that drive estimate_frame()
+    directly (no traj maintained): the first-frame flag and the
+    motion-prediction state T_delta are checkpointed explicitly, not
+    inferred from trajectory length."""
+    frames = _frames(6)
+    odo = create_odometry("small_gicp_model", PARAMS)
+    for f in frames[:3]:
+        odo.estimate_frame(f)
+    ckpt = str(tmp_path / "odo.npz")
+    save_odometry_state(ckpt, odo)
+    odo_b = create_odometry("small_gicp_model", PARAMS)
+    odo_b.estimate_frame(frames[0])  # warm, then fully overwritten by load
+    load_odometry_state(ckpt, odo_b)
+    assert odo_b._first is False
+    for f in frames[3:]:
+        a = odo.estimate_frame(f)
+        b = odo_b.estimate_frame(f)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

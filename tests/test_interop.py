@@ -328,3 +328,62 @@ def test_as_point_cloud_routes_pcl_layouts(rng):
     back = as_point_cloud(to_pcl(c))
     assert back.has_covs
     np.testing.assert_allclose(back.points_numpy()[:, :3], pts, rtol=1e-6)
+
+
+def test_from_pcl_skips_nonfinite(rng):
+    """Real PCL buffers with is_dense=false carry NaN rows (organized
+    clouds); from_pcl must drop them — and their normals/covs — so NaN
+    coordinates can't bypass the sentinel padding and poison kNN."""
+    from small_gicp_tpu import PointCloud, from_pcl, to_pcl
+
+    n = 16
+    pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    normals4 = np.zeros((n, 4), np.float32)
+    normals4[:, :3] = nrm
+    cloud = PointCloud.from_points(pts).replace(normals=jnp.asarray(normals4))
+    arr = to_pcl(cloud, "normal")
+    bad = [2, 7, 11]
+    arr["x"][bad[0]] = np.nan
+    arr["y"][bad[1]] = np.inf
+    arr["z"][bad[2]] = -np.nan
+
+    back = from_pcl(arr)
+    keep = np.setdiff1d(np.arange(n), bad)
+    assert len(back) == n - len(bad)
+    np.testing.assert_allclose(back.points_numpy()[:, :3], pts[keep],
+                               rtol=1e-6)
+    # normals stayed aligned with the surviving rows
+    np.testing.assert_allclose(back.normals_numpy()[:, :3], nrm[keep],
+                               rtol=1e-6)
+
+
+def test_from_pcl_ignores_odd_cov_field(rng):
+    """A structured array with x/y/z plus a 'cov' field that is NOT a
+    (4,4)/(3,3) covariance subarray must fall back to plain xyz
+    extraction instead of mis-slicing or raising."""
+    from small_gicp_tpu import from_pcl
+
+    n = 9
+    dt = np.dtype([("x", np.float32), ("y", np.float32), ("z", np.float32),
+                   ("cov", np.float32)])  # scalar 'cov' — e.g. a confidence
+    arr = np.zeros(n, dt)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    arr["x"], arr["y"], arr["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+    arr["cov"] = rng.uniform(0, 1, n)
+
+    back = from_pcl(arr)
+    assert not back.has_covs
+    np.testing.assert_allclose(back.points_numpy()[:, :3], pts, rtol=1e-6)
+
+    # (3,3) subarray IS accepted as a covariance field
+    dt33 = np.dtype([("x", np.float32), ("y", np.float32),
+                     ("z", np.float32), ("cov", np.float32, (3, 3))])
+    arr33 = np.zeros(n, dt33)
+    arr33["x"], arr33["y"], arr33["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+    c = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    arr33["cov"] = c @ c.transpose(0, 2, 1)
+    back33 = from_pcl(arr33)
+    assert back33.has_covs
+    np.testing.assert_allclose(back33.covs_numpy(), arr33["cov"], rtol=1e-6)

@@ -174,6 +174,51 @@ def test_restrict_dof(preprocessed):
     assert np.linalg.norm(T[:2, 3] - T_gt[:2, 3]) < TRANS_TOL
 
 
+def test_restrict_dof_2d_slam(preprocessed):
+    """2D-SLAM config (general_factor.hpp:57-67, λ=1e9 semantics):
+    freeze z translation AND roll/pitch; the frozen axes must stay at
+    the initial guess while x/y/yaw still converge toward GT."""
+    target, target_tree, source, _, T_gt = preprocessed
+    reg = sgt.Registration(
+        registration_type="gicp",
+        dof_rotation_mask=[0.0, 0.0, 1.0],  # rx, ry frozen; yaw free
+        dof_translation_mask=[1.0, 1.0, 0.0],  # z frozen
+    )
+    result = reg.align(target, source, target_tree)
+    T = np.asarray(result.T_target_source)
+    R = T[:3, :3]
+    # Frozen axes: no out-of-plane motion accumulated from identity.
+    assert abs(T[2, 3]) < 5e-3
+    assert np.allclose(R[:, 2], [0.0, 0.0, 1.0], atol=2e-3)  # no roll/pitch
+    assert np.allclose(R[2, :], [0.0, 0.0, 1.0], atol=2e-3)
+    # Free axes still converge: x/y near GT, yaw within the suite bound.
+    assert np.linalg.norm(T[:2, 3] - T_gt[:2, 3]) < TRANS_TOL
+    yaw_est = np.arctan2(R[1, 0], R[0, 0])
+    yaw_gt = np.arctan2(T_gt[1, 0], T_gt[0, 0])
+    assert abs(np.degrees(yaw_est - yaw_gt)) < ROT_TOL_DEG
+
+
+def test_restrict_dof_holds_initial_value(preprocessed):
+    """A frozen axis stays at the INITIAL GUESS, not at zero: the
+    soft constraint freezes the update δ (right-multiplied), so a
+    nonzero init z survives even though the unconstrained optimum
+    (GT z ≈ −0.025) is elsewhere."""
+    target, target_tree, source, _, T_gt = preprocessed
+    init = np.eye(4, dtype=np.float32)
+    init[2, 3] = 0.5
+    reg = sgt.Registration(
+        registration_type="gicp",
+        dof_translation_mask=[1.0, 1.0, 0.0],
+        max_iterations=10,
+    )
+    result = reg.align(target, source, target_tree, jnp.asarray(init))
+    T = np.asarray(result.T_target_source)
+    # In-plane rotation is small, so the world-z drift from free x/y
+    # motion is tiny; z must remain at ~0.5, far from the GT optimum.
+    assert abs(T[2, 3] - 0.5) < 0.05
+    assert abs(T[2, 3] - T_gt[2, 3]) > 0.4  # did NOT slide to the optimum
+
+
 def test_vgicp_helper_warns_on_dropped_max_distance(preprocessed):
     """helper.align keeps the reference's behavior of pinning the VGICP
     rejector at 1.0 m (registration_helper.cpp:125-137) but must WARN
