@@ -277,15 +277,24 @@ def align_impl(
             )
         return H
 
+    # Factor-specific payload availability for the fused kernel: the
+    # three reference factors share one weighted-LS kernel
+    # (ops/gicp_fused_pallas._fused_finalize); robust kernels re-weight
+    # by per-point error and keep the XLA path (see docs/API.md
+    # "fused-path exclusions" for the measured cost of leaving it).
+    _is_cloud = isinstance(target, PointCloud)
+    _fused_factor_ok = _is_cloud and (
+        (registration_type == GICP
+         and target.covs is not None and source.covs is not None)
+        or (registration_type == PLANE_ICP and target.normals is not None)
+        or registration_type == ICP
+    )
     fused_ok = (
         use_fused == "auto"
-        and registration_type == GICP
+        and _fused_factor_ok
         and robust_kernel is None
-        and isinstance(target, PointCloud)
         and isinstance(target_tree, (KdTree, type(None)))
         and dtype == jnp.float32
-        and target.covs is not None
-        and source.covs is not None
         and psum_axis is None
         and jax.default_backend() == "tpu"
     )
@@ -304,7 +313,8 @@ def align_impl(
 
         f_ttab, f_tb, f_qtab, f_src, _, f_ttab_T = gicp_prepare(
             target.points, target.covs, source.points, source.covs,
-            source.num_points,
+            source.num_points, factor=registration_type,
+            target_normals=target.normals,
         )
 
     def search_linearize(T):
@@ -316,7 +326,8 @@ def align_impl(
         kernel consumes (None on the XLA path)."""
         if fused_ok:
             H, b, inliers, corr16 = gicp_linearize_tables(
-                f_ttab, f_tb, f_qtab, T, max_dist_sq, f_ttab_T
+                f_ttab, f_tb, f_qtab, T, max_dist_sq, f_ttab_T,
+                factor=registration_type,
             )
             return (
                 _dof(H.astype(dtype)),

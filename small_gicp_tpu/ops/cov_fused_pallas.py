@@ -1,0 +1,308 @@
+"""Pallas TPU kernel: fused exact self-kNN + covariance moments.
+
+The covariance-estimation stage (reference: estimate_covariances,
+util/normal_estimation.hpp:66-92 — kNN-20 per point, then neighbor
+moments and a 3x3 eigendecomposition) was the last unfused hot loop of
+the scan-to-model odometry step: the dense Pallas top-k kernel
+(ops/knn_pallas.knn_pallas) measures ~14 ms at 16k self-kNN because it
+scans all Q·M pairs and pays ~20 extraction passes per target tile.
+This kernel keeps the exact-kNN semantics but only scans tiles that can
+contain a top-k member:
+
+  1. Morton-sort the cloud once (anchored at its min corner).
+  2. XLA bound pass: each query's kth-distance UPPER BOUND from its
+     Morton window (the 2W sorted neighbors via jnp.roll — any
+     candidate subset's kth-best bounds the true kth-best from above,
+     so pruning with it is exactness-preserving).
+  3. XLA live lists: per 256-query block, the thin target tiles whose
+     bbox gap to the block bbox is within the block's worst bound —
+     the same outside-the-kernel pruning mechanism as the fused GICP
+     kernel (in-kernel `pl.when` predicates instead of skipping;
+     measured, see ops/gicp_fused_pallas._fused_kernel_listed).
+  4. ONE list-driven kernel: per live tile, k extraction passes over
+     the [BQ, TS] distance tile, maintaining per-lane top-k slots of
+     (d², dx, dy, dz) — the winning candidates' QUERY-CENTERED offsets
+     ride along, so the neighbor-gather that the XLA path pays
+     (points[idx], a [N,k]-row gather) never happens. The kernel's
+     output is the per-query moment row [Σd, Σddᵀ, count, d_k]; the
+     caller finishes mean/cov/eigh exactly as ops/normals._estimate_impl
+     (centering at the query is what the XLA path does too — it is what
+     makes f32 second moments safe at map-scale coordinates).
+
+Exact within fp tie-handling: ties are kept lexicographically by
+(distance, sorted row id); an exact tie at the kth distance may select
+a different member than the XLA path's original-id order — identical
+moments up to the tied points' coordinates (they differ only when two
+distinct points are exactly equidistant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+# Matches ops/normals._VALID_NEIGHBOR_SQ_DIST: beyond this the "neighbor"
+# is a sentinel padding row.
+_VALID_SQ = 1e16
+
+
+def _make_moments_kernel(k: int, ts: int, L: int):
+    def kernel(lists_ref, counts_ref, t_ref, q_ref, out_ref,
+               rd, rdx, rdy, rdz):
+        """lists_ref: SMEM [1, nQB*L] live tile ids; counts_ref: SMEM
+        [1, nQB] (count > L => full scan); t_ref: VMEM [8, MP] rows
+        x,y,z; q_ref: VMEM [BQ, 8] cols x,y,z; out_ref: VMEM [BQ, 16]
+        moment rows; rd/rdx/rdy/rdz: VMEM scratch [BQ, k] top-k slots
+        (squared distance + query-centered offsets of the winner)."""
+        qi = pl.program_id(0)
+        mp = t_ref.shape[1]
+        n_tt = mp // ts
+        bq = q_ref.shape[0]
+
+        cnt = counts_ref[0, qi]
+        use_list = cnt <= L
+        n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
+
+        rd[:] = jnp.full_like(rd, _BIG)
+        rdx[:] = jnp.zeros_like(rdx)
+        rdy[:] = jnp.zeros_like(rdy)
+        rdz[:] = jnp.zeros_like(rdz)
+
+        qx = q_ref[:, 0:1]
+        qy = q_ref[:, 1:2]
+        qz = q_ref[:, 2:3]
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (bq, ts), 1)
+
+        def visit(t, carry):
+            jl = jnp.where(
+                use_list,
+                lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+                t.astype(jnp.int32),
+            )
+            base = jl * ts
+            dx = t_ref[0:1, pl.ds(base, ts)] - qx  # p − q, [BQ, ts]
+            dy = t_ref[1:2, pl.ds(base, ts)] - qy
+            dz = t_ref[2:3, pl.ds(base, ts)] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            col = col0 + base
+
+            run_d, run_x, run_y, run_z = rd[:], rdx[:], rdy[:], rdz[:]
+            for _ in range(k):
+                m = jnp.min(d2, axis=1, keepdims=True)  # [BQ,1]
+                midx = jnp.min(
+                    jnp.where(d2 <= m, col, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                sel = col == midx
+                wx = jnp.sum(jnp.where(sel, dx, 0.0), axis=1, keepdims=True)
+                wy = jnp.sum(jnp.where(sel, dy, 0.0), axis=1, keepdims=True)
+                wz = jnp.sum(jnp.where(sel, dz, 0.0), axis=1, keepdims=True)
+                d2 = jnp.where(sel, _BIG, d2)
+                # Lexicographic (d, slot-payload) insert: the slot's
+                # "index" role is played by the winner's offsets — ties
+                # are resolved by visit order, which the lex insert on
+                # (d, col-extraction order) keeps deterministic. Shift
+                # all four arrays with the same gt masks.
+                gt = run_d > m
+                prev_d = jnp.concatenate(
+                    [jnp.full_like(run_d[:, :1], -_BIG), run_d[:, :-1]],
+                    axis=1,
+                )
+                prev_x = jnp.concatenate([run_x[:, :1], run_x[:, :-1]], axis=1)
+                prev_y = jnp.concatenate([run_y[:, :1], run_y[:, :-1]], axis=1)
+                prev_z = jnp.concatenate([run_z[:, :1], run_z[:, :-1]], axis=1)
+                prev_gt = prev_d > m
+                run_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+                run_x = jnp.where(gt, jnp.where(prev_gt, prev_x, wx), run_x)
+                run_y = jnp.where(gt, jnp.where(prev_gt, prev_y, wy), run_y)
+                run_z = jnp.where(gt, jnp.where(prev_gt, prev_z, wz), run_z)
+            rd[:] = run_d
+            rdx[:] = run_x
+            rdy[:] = run_y
+            rdz[:] = run_z
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, visit, 0, unroll=1)
+
+        # Per-lane moments over valid slots (same validity threshold as
+        # ops/normals: beyond _VALID_SQ the hit is a sentinel pad row).
+        run_d, run_x, run_y, run_z = rd[:], rdx[:], rdy[:], rdz[:]
+        v = (run_d < _VALID_SQ).astype(jnp.float32)
+        vx = run_x * v
+        vy = run_y * v
+        vz = run_z * v
+        cols = [
+            jnp.sum(vx, axis=1, keepdims=True),
+            jnp.sum(vy, axis=1, keepdims=True),
+            jnp.sum(vz, axis=1, keepdims=True),
+            jnp.sum(vx * run_x, axis=1, keepdims=True),
+            jnp.sum(vx * run_y, axis=1, keepdims=True),
+            jnp.sum(vx * run_z, axis=1, keepdims=True),
+            jnp.sum(vy * run_y, axis=1, keepdims=True),
+            jnp.sum(vy * run_z, axis=1, keepdims=True),
+            jnp.sum(vz * run_z, axis=1, keepdims=True),
+            jnp.sum(v, axis=1, keepdims=True),
+            run_d[:, k - 1:k],  # kth distance (diagnostic)
+        ]
+        cols += [jnp.zeros_like(cols[0])] * (16 - len(cols))
+        out_ref[:] = jnp.concatenate(cols, axis=1)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "ts", "window", "interpret"),
+)
+def knn_moments_pallas(
+    points: jax.Array,  # [N,4] padded homogeneous
+    num_points: jax.Array,  # scalar int32
+    k: int,
+    block_q: int = 256,
+    ts: int = 1024,
+    window: int = 0,  # 0 = auto
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact self-kNN moments: returns (m1 [N,3] = Σ(p−q) over the k
+    nearest, m2 [N,3,3] = Σ(p−q)(p−q)ᵀ, counts [N]) in ORIGINAL row
+    order. Membership matches brute-force kNN (ties may resolve to a
+    different but exactly-equidistant member — see module docstring).
+
+    f32 TPU path; the sorted cloud must fit VMEM as [8, MP] (M ≤ ~1M).
+    """
+    if k > 64:
+        raise ValueError(f"knn_moments_pallas supports k<=64, got {k}")
+    from small_gicp_tpu.ops.knn_window import morton_codes32
+
+    n = points.shape[0]
+    while (n + ts - 1) // ts > 384:
+        ts *= 2
+    mp = (n + ts - 1) // ts * ts
+    block_q = min(block_q, (n + 127) // 128 * 128)
+    qp = (n + block_q - 1) // block_q * block_q
+    w = window or max(64, 2 * k + 24)
+
+    xyz = jnp.clip(points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
+    finite = jnp.all(jnp.abs(xyz) < 1.0e8, axis=-1)
+    origin = jnp.min(jnp.where(finite[:, None], xyz, jnp.inf), axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    code = morton_codes32(
+        jnp.where(finite[:, None], xyz, jnp.inf), 1.0, origin=origin
+    )
+    _, perm = jax.lax.sort((code, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    sc = xyz[perm]  # sorted coords; invalid (sentinel) rows last
+
+    # ---- bound pass: kth-distance upper bound from the Morton window.
+    # Any ≥k-member candidate subset's kth-best ≥ the true kth-best, so
+    # the window bound is a valid pruning radius. Rolled (wrapped)
+    # candidates and sentinel rows only loosen it.
+    d2w = []
+    for s in range(-(w // 2), w - w // 2):
+        sh = jnp.roll(sc, s, axis=0)
+        d = sc - sh
+        d2w.append(jnp.sum(d * d, axis=-1))
+    d2w = jnp.stack(d2w, axis=1)  # [N, w]
+    # kth smallest per row (includes self at shift 0 with d2=0, exactly
+    # like the self-kNN the XLA path runs).
+    neg_topk, _ = jax.lax.top_k(-d2w, k)
+    ub = -neg_topk[:, k - 1]  # [N], sorted order
+    # Invalid rows sort last (sentinel → max Morton code), so in sorted
+    # order "first num_points rows" IS the valid mask; zeroing invalid
+    # lanes keeps their garbage bounds out of the per-block max.
+    ub = jnp.where(jnp.arange(n) < num_points, ub, 0.0)
+
+    if mp != n:
+        sc_p = jnp.concatenate(
+            [sc, jnp.full((mp - n, 3), 1.0e12, jnp.float32)], axis=0
+        )
+        ub_p = jnp.concatenate([ub, jnp.zeros((mp - n,), jnp.float32)])
+    else:
+        sc_p, ub_p = sc, ub
+
+    # ---- live tile lists (XLA; same shape as the fused GICP path) ----
+    n_tt = mp // ts
+    tcoord = sc_p.reshape(n_tt, ts, 3)
+    tfinite = jnp.all(jnp.abs(tcoord) < 1.0e8, axis=-1, keepdims=True)
+    tlo = jnp.min(jnp.where(tfinite, tcoord, _BIG), axis=1)  # [n_tt,3]
+    thi = jnp.max(jnp.where(tfinite, tcoord, -_BIG), axis=1)
+
+    qpad = qp - n
+    scq = (
+        jnp.concatenate([sc, jnp.full((qpad, 3), 1.0e12, jnp.float32)], axis=0)
+        if qpad else sc
+    )
+    ubq = (
+        jnp.concatenate([ub, jnp.zeros((qpad,), jnp.float32)])
+        if qpad else ub
+    )
+    n_qb = qp // block_q
+    qb = scq.reshape(n_qb, block_q, 3)
+    qvalid = (jnp.arange(qp) < num_points).reshape(n_qb, block_q, 1)
+    qlo = jnp.min(jnp.where(qvalid, qb, _BIG), axis=1)  # [n_qb,3]
+    qhi = jnp.max(jnp.where(qvalid, qb, -_BIG), axis=1)
+    ub_block = jnp.max(ubq.reshape(n_qb, block_q), axis=1)  # [n_qb]
+
+    gaps = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            tlo[None, :, :] - qhi[:, None, :],
+            qlo[:, None, :] - thi[None, :, :],
+        ),
+    )  # [n_qb, n_tt, 3]
+    gap2 = jnp.sum(gaps * gaps, axis=-1)
+    live = ~(gap2 > ub_block[:, None])  # NaN-safe keep
+    counts = jnp.sum(live, axis=1).astype(jnp.int32)
+    L = min(n_tt, 64)
+    key = jnp.where(live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30))
+    lists = jnp.sort(key, axis=1)[:, :L].reshape(1, n_qb * L)
+
+    t = jnp.concatenate([sc_p, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+    q = jnp.concatenate([scq, jnp.zeros((qp, 5), jnp.float32)], axis=1)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_moments_kernel(k, ts, L),
+            grid=(n_qb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, mp), lambda qi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_q, 8), lambda qi: (qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_q, 16), lambda qi: (qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((qp, 16), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.float32),
+                pltpu.VMEM((block_q, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(lists, counts[None, :], t, q)
+
+    # Unsort ONE compact [N,16] row table (the only gather this path
+    # pays; the XLA pipeline gathers [N,k] neighbor rows instead).
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    rows = out[:n][inv]
+    m1 = rows[:, 0:3]
+    m2 = jnp.stack(
+        [
+            rows[:, 3], rows[:, 4], rows[:, 5],
+            rows[:, 4], rows[:, 6], rows[:, 7],
+            rows[:, 5], rows[:, 7], rows[:, 8],
+        ],
+        axis=1,
+    ).reshape(n, 3, 3)
+    cnt = rows[:, 9]
+    return m1, m2, cnt

@@ -67,7 +67,7 @@ _LISTED_MP_CAP = 1_572_864
 
 def _fused_kernel(
     nt_ref, tb_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay, qbb,
-    *, ts: int,
+    *, ts: int, factor: str = "gicp",
 ):
     """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq | pad]
     (2-D so the auto-batching rule's squeezed leading block dim keeps the
@@ -194,7 +194,7 @@ def _fused_kernel(
         _fused_finalize(
             best_d, best_pay, q_ref, corr_ref, acc_ref,
             (r00, r01, r02, r10, r11, r12, r20, r21, r22),
-            (qx, qy, qz), (px, py, pz), max_d2,
+            (qx, qy, qz), (px, py, pz), max_d2, factor,
         )
 
 
@@ -249,14 +249,24 @@ def morton_presort(
 
 
 def _fused_finalize(
-    best_d, best_pay, q_ref, corr_ref, acc_ref, rmat9, qxyz, pxyz, max_d2
+    best_d, best_pay, q_ref, corr_ref, acc_ref, rmat9, qxyz, pxyz, max_d2,
+    factor: str = "gicp",
 ):
     """Per-query-block linearization from the winning correspondences:
-    mahalanobis W = (C_t + R C_s Rᵀ)⁻¹ (adjugate inverse, same guard as
-    ops/eigh3.inv3x3), rejector mask, J = [R·skew(p) | −R], the
+    per-point weight W, rejector mask, J = [R·skew(p) | −R], the
     [H|b|e|inliers] block reduction via one ones-vector MXU matmul, and
     the frozen-correspondence buffer write. Shared by the grid-swept
     (_fused_kernel) and list-driven (_fused_kernel_listed) variants.
+
+    `factor` selects W — the three reference factors share the weighted
+    least-squares form H = JᵀWJ, b = JᵀWr, e = ½rᵀWr
+    (factors.make_weights):
+      * "gicp": mahalanobis (C_t + R C_s Rᵀ)⁻¹ — payload rows 3-11 carry
+        C_t row-major (gicp_factor.hpp:59-60); adjugate inverse with the
+        same det guard as ops/eigh3.inv3x3.
+      * "plane_icp": diag(n∘n) — payload rows 3-5 carry the target
+        normal (plane_icp_factor.hpp:43-54: err = n⊙r ⇒ W = diag(n)ᵀdiag(n)).
+      * "icp": identity (icp_factor.hpp:34-53).
     """
     r00, r01, r02, r10, r11, r12, r20, r21, r22 = rmat9
     qx, qy, qz = qxyz
@@ -274,49 +284,66 @@ def _fused_finalize(
     ry = muy - qy
     rz = muz - qz
 
-    # A = R C_s; B = A Rᵀ; M = C_t + B  (gicp_factor.hpp:59)
-    c = [q_ref[3 + k:4 + k, :] for k in range(9)]  # C_s row-major
-    a00 = r00 * c[0] + r01 * c[3] + r02 * c[6]
-    a01 = r00 * c[1] + r01 * c[4] + r02 * c[7]
-    a02 = r00 * c[2] + r01 * c[5] + r02 * c[8]
-    a10 = r10 * c[0] + r11 * c[3] + r12 * c[6]
-    a11 = r10 * c[1] + r11 * c[4] + r12 * c[7]
-    a12 = r10 * c[2] + r11 * c[5] + r12 * c[8]
-    a20 = r20 * c[0] + r21 * c[3] + r22 * c[6]
-    a21 = r20 * c[1] + r21 * c[4] + r22 * c[7]
-    a22 = r20 * c[2] + r21 * c[5] + r22 * c[8]
-    m00 = best_pay[3:4, :] + a00 * r00 + a01 * r01 + a02 * r02
-    m01 = best_pay[4:5, :] + a00 * r10 + a01 * r11 + a02 * r12
-    m02 = best_pay[5:6, :] + a00 * r20 + a01 * r21 + a02 * r22
-    m10 = best_pay[6:7, :] + a10 * r00 + a11 * r01 + a12 * r02
-    m11 = best_pay[7:8, :] + a10 * r10 + a11 * r11 + a12 * r12
-    m12 = best_pay[8:9, :] + a10 * r20 + a11 * r21 + a12 * r22
-    m20 = best_pay[9:10, :] + a20 * r00 + a21 * r01 + a22 * r02
-    m21 = best_pay[10:11, :] + a20 * r10 + a21 * r11 + a22 * r12
-    m22 = best_pay[11:12, :] + a20 * r20 + a21 * r21 + a22 * r22
+    if factor == "gicp":
+        # A = R C_s; B = A Rᵀ; M = C_t + B  (gicp_factor.hpp:59)
+        c = [q_ref[3 + k:4 + k, :] for k in range(9)]  # C_s row-major
+        a00 = r00 * c[0] + r01 * c[3] + r02 * c[6]
+        a01 = r00 * c[1] + r01 * c[4] + r02 * c[7]
+        a02 = r00 * c[2] + r01 * c[5] + r02 * c[8]
+        a10 = r10 * c[0] + r11 * c[3] + r12 * c[6]
+        a11 = r10 * c[1] + r11 * c[4] + r12 * c[7]
+        a12 = r10 * c[2] + r11 * c[5] + r12 * c[8]
+        a20 = r20 * c[0] + r21 * c[3] + r22 * c[6]
+        a21 = r20 * c[1] + r21 * c[4] + r22 * c[7]
+        a22 = r20 * c[2] + r21 * c[5] + r22 * c[8]
+        m00 = best_pay[3:4, :] + a00 * r00 + a01 * r01 + a02 * r02
+        m01 = best_pay[4:5, :] + a00 * r10 + a01 * r11 + a02 * r12
+        m02 = best_pay[5:6, :] + a00 * r20 + a01 * r21 + a02 * r22
+        m10 = best_pay[6:7, :] + a10 * r00 + a11 * r01 + a12 * r02
+        m11 = best_pay[7:8, :] + a10 * r10 + a11 * r11 + a12 * r12
+        m12 = best_pay[8:9, :] + a10 * r20 + a11 * r21 + a12 * r22
+        m20 = best_pay[9:10, :] + a20 * r00 + a21 * r01 + a22 * r02
+        m21 = best_pay[10:11, :] + a20 * r10 + a21 * r11 + a22 * r12
+        m22 = best_pay[11:12, :] + a20 * r20 + a21 * r21 + a22 * r22
 
-    # adjugate inverse, same det guard as ops/eigh3.inv3x3
-    co00 = m11 * m22 - m12 * m21
-    co01 = m02 * m21 - m01 * m22
-    co02 = m01 * m12 - m02 * m11
-    co10 = m12 * m20 - m10 * m22
-    co11 = m00 * m22 - m02 * m20
-    co12 = m02 * m10 - m00 * m12
-    co20 = m10 * m21 - m11 * m20
-    co21 = m01 * m20 - m00 * m21
-    co22 = m00 * m11 - m01 * m10
-    det = m00 * co00 + m01 * co10 + m02 * co20
-    bad = jnp.abs(det) < 1e-30
-    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
-    w00 = co00 * inv_det
-    w01 = co01 * inv_det
-    w02 = co02 * inv_det
-    w10 = co10 * inv_det
-    w11 = co11 * inv_det
-    w12 = co12 * inv_det
-    w20 = co20 * inv_det
-    w21 = co21 * inv_det
-    w22 = co22 * inv_det
+        # adjugate inverse, same det guard as ops/eigh3.inv3x3
+        co00 = m11 * m22 - m12 * m21
+        co01 = m02 * m21 - m01 * m22
+        co02 = m01 * m12 - m02 * m11
+        co10 = m12 * m20 - m10 * m22
+        co11 = m00 * m22 - m02 * m20
+        co12 = m02 * m10 - m00 * m12
+        co20 = m10 * m21 - m11 * m20
+        co21 = m01 * m20 - m00 * m21
+        co22 = m00 * m11 - m01 * m10
+        det = m00 * co00 + m01 * co10 + m02 * co20
+        bad = jnp.abs(det) < 1e-30
+        inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
+        w00 = co00 * inv_det
+        w01 = co01 * inv_det
+        w02 = co02 * inv_det
+        w10 = co10 * inv_det
+        w11 = co11 * inv_det
+        w12 = co12 * inv_det
+        w20 = co20 * inv_det
+        w21 = co21 * inv_det
+        w22 = co22 * inv_det
+    elif factor == "plane_icp":
+        # W = diag(n∘n): payload rows 3-5 carry the winning target
+        # normal (plane_icp_factor.hpp:43-54).
+        nx = best_pay[3:4, :]
+        ny = best_pay[4:5, :]
+        nz = best_pay[5:6, :]
+        zero = jnp.zeros_like(nx)
+        w00, w11, w22 = nx * nx, ny * ny, nz * nz
+        w01 = w02 = w10 = w12 = w20 = w21 = zero
+    elif factor == "icp":
+        one = jnp.ones_like(rx)
+        zero = jnp.zeros_like(rx)
+        w00 = w11 = w22 = one
+        w01 = w02 = w10 = w12 = w20 = w21 = zero
+    else:
+        raise ValueError(f"unknown fused factor {factor!r}")
 
     # Wr, e = ½ rᵀWr
     wr0 = w00 * rx + w01 * ry + w02 * rz
@@ -392,6 +419,7 @@ def _fused_finalize(
 def _fused_kernel_listed(
     nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref, acc_ref,
     best_d, best_pay, *, ts: int, L: int, transposed: bool, qdim: int = 0,
+    factor: str = "gicp",
 ):
     """List-driven variant of _fused_kernel: the WHOLE (Morton-sorted)
     target is VMEM-resident, grid = (query_blocks,), and each block
@@ -498,7 +526,7 @@ def _fused_kernel_listed(
     _fused_finalize(
         best_d, best_pay, q_ref, corr_ref, acc_ref,
         (r00, r01, r02, r10, r11, r12, r20, r21, r22), (qx, qy, qz),
-        (px, py, pz), max_d2,
+        (px, py, pz), max_d2, factor,
     )
 
 
@@ -522,17 +550,19 @@ def _sizes(m: int, n: int, block_q: int, block_m: int,
     return ts, block_m, block_q, mp, qp
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "sort", "ts"))
+@partial(jax.jit, static_argnames=("block_q", "block_m", "sort", "ts", "factor"))
 def gicp_prepare(
     target_points: jax.Array,  # [M,4]
-    target_covs: jax.Array,  # [M,3,3]
+    target_covs: jax.Array,  # [M,3,3] (GICP) or None
     source_points: jax.Array,  # [N,4]
-    source_covs: jax.Array,  # [N,3,3]
+    source_covs: jax.Array,  # [N,3,3] (GICP) or None
     num_points: jax.Array,  # scalar int32 (valid source rows)
     block_q: int = 512,
     block_m: int = 1024,
     sort: bool = True,
     ts: int = _TS_DEFAULT,
+    factor: str = "gicp",
+    target_normals: jax.Array = None,  # [M,4] (plane_icp)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """ONE-TIME per-align preparation for the fused kernel.
 
@@ -543,6 +573,10 @@ def gicp_prepare(
     running the kernel inside an optimizer loop call this once before
     the loop (no reliance on XLA loop-invariant hoisting) and feed the
     tables to gicp_linearize_tables each iteration.
+
+    `factor` picks the target payload (cols 3-11): "gicp" = C_t
+    row-major, "plane_icp" = target normal in cols 3-5 (rest zero),
+    "icp" = zeros. The source table carries C_s only for "gicp".
 
     Returns (ttab [MP,16], tb [1,n_tt*8], qtab [16,QP],
     sorted_src [QP,4], sperm [N] — the source permutation applied, for
@@ -556,6 +590,23 @@ def gicp_prepare(
     m = target_points.shape[0]
     n = source_points.shape[0]
     ts, block_m, block_q, mp, qp = _sizes(m, n, block_q, block_m, ts)
+
+    if factor == "gicp":
+        t_payload = target_covs.reshape(m, 9).astype(jnp.float32)
+    elif factor == "plane_icp":
+        t_payload = jnp.concatenate(
+            [target_normals[:, :3].astype(jnp.float32),
+             jnp.zeros((m, 6), jnp.float32)],
+            axis=1,
+        )
+    elif factor == "icp":
+        t_payload = jnp.zeros((m, 9), jnp.float32)
+    else:
+        raise ValueError(f"unknown fused factor {factor!r}")
+    s_payload = (
+        source_covs.reshape(n, 9).astype(jnp.float32)
+        if factor == "gicp" else jnp.zeros((n, 9), jnp.float32)
+    )
 
     tc = jnp.clip(target_points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
     valid = (jnp.arange(n, dtype=jnp.int32) < num_points).astype(jnp.float32)
@@ -572,7 +623,7 @@ def gicp_prepare(
             (tcode, jnp.arange(m, dtype=jnp.int32)), num_keys=1
         )
         tc = tc[tperm]
-        target_covs = target_covs[tperm]
+        t_payload = t_payload[tperm]
         sxyz = jnp.where(
             valid[:, None] > 0.5,
             source_points[:, :3].astype(jnp.float32),
@@ -585,12 +636,11 @@ def gicp_prepare(
             (scode, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         source_points = source_points[sperm]
-        source_covs = source_covs[sperm]
+        s_payload = s_payload[sperm]
         valid = valid[sperm]
 
     ttab = jnp.concatenate(
-        [tc, target_covs.reshape(m, 9).astype(jnp.float32),
-         jnp.zeros((m, 4), jnp.float32)],
+        [tc, t_payload, jnp.zeros((m, 4), jnp.float32)],
         axis=1,
     )  # [M, 16]
     if mp != m:
@@ -612,7 +662,7 @@ def gicp_prepare(
     qtab = jnp.concatenate(
         [
             source_points[:, :3].astype(jnp.float32),
-            source_covs.reshape(n, 9).astype(jnp.float32),
+            s_payload,
             valid[:, None],
             jnp.zeros((n, 3), jnp.float32),
         ],
@@ -630,7 +680,7 @@ def gicp_prepare(
     return ttab, tb, qtab, sorted_src, sperm, ttab.T.copy()
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret"))
+@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "factor"))
 def gicp_linearize_tables(
     ttab: jax.Array,  # [MP,16] from gicp_prepare
     tb: jax.Array,  # [1, n_tt*8]
@@ -641,6 +691,7 @@ def gicp_linearize_tables(
     block_q: int = 512,
     block_m: int = 1024,
     interpret: bool = False,
+    factor: str = "gicp",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-iteration fused search+linearize over prepared tables.
 
@@ -719,7 +770,8 @@ def gicp_linearize_tables(
         grid = (n_qb,)
         with jax.enable_x64(False):
             corr, acc = pl.pallas_call(
-                partial(_fused_kernel_listed, ts=ts, L=L, transposed=use_T),
+                partial(_fused_kernel_listed, ts=ts, L=L, transposed=use_T,
+                        factor=factor),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -754,7 +806,7 @@ def gicp_linearize_tables(
         grid = (n_qb, mp // block_m)
         with jax.enable_x64(False):
             corr, acc = pl.pallas_call(
-                partial(_fused_kernel, ts=ts),
+                partial(_fused_kernel, ts=ts, factor=factor),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -797,12 +849,13 @@ def gicp_linearize_tables(
     return H, b, inliers, corr
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "sort"))
+@partial(jax.jit, static_argnames=(
+    "block_q", "block_m", "interpret", "sort", "factor"))
 def gicp_linearize_pallas(
     target_points: jax.Array,  # [M,4]
-    target_covs: jax.Array,  # [M,3,3]
+    target_covs: jax.Array,  # [M,3,3] (GICP) or None
     source_points: jax.Array,  # [N,4]
-    source_covs: jax.Array,  # [N,3,3]
+    source_covs: jax.Array,  # [N,3,3] (GICP) or None
     T: jax.Array,  # [4,4]
     num_points: jax.Array,  # scalar int32 (valid source rows)
     max_dist_sq,
@@ -810,6 +863,8 @@ def gicp_linearize_pallas(
     block_m: int = 1024,
     interpret: bool = False,
     sort: bool = True,
+    factor: str = "gicp",
+    target_normals: jax.Array = None,  # [M,4] (plane_icp)
 ) -> Tuple[jax.Array, ...]:
     """Fused GICP search+linearize (standalone convenience entry:
     gicp_prepare + gicp_linearize_tables + per-point output extraction).
@@ -832,11 +887,12 @@ def gicp_linearize_pallas(
 
     ttab, tb, qtab, sorted_src, sperm, ttab_T = gicp_prepare(
         target_points, target_covs, source_points, source_covs, num_points,
-        block_q=block_q, block_m=block_m, sort=sort,
+        block_q=block_q, block_m=block_m, sort=sort, factor=factor,
+        target_normals=target_normals,
     )
     H, b, _inliers, corr16 = gicp_linearize_tables(
         ttab, tb, qtab, T, max_dist_sq, ttab_T,
-        block_q=block_q, block_m=block_m, interpret=interpret,
+        block_q=block_q, block_m=block_m, interpret=interpret, factor=factor,
     )
     H = H.astype(dtype)
     b = b.astype(dtype)

@@ -53,40 +53,75 @@ def _estimate_impl(
     dtype = points.dtype
     xyz = points[:, :3]
 
-    if neighbor_mode == "window":
-        # O(N·W) Morton-banded self-search (ops/knn_window.py) — the
-        # odometry fast path; recall/covariance quality bounded in
-        # tests/test_knn_window.py.
-        from small_gicp_tpu.ops.knn_window import knn_windowed
+    if neighbor_mode == "fused":
+        # Same exact-kNN semantics, one fused kernel: the list-driven
+        # moments kernel scans only target tiles within each block's
+        # kth-distance bound and carries the winners' query-centered
+        # offsets, so neither the [Q,M] distance sweep nor the [N,k]
+        # neighbor gather is ever paid (ops/cov_fused_pallas.py).
+        # OPT-IN (not the exact default): on uniform-density clouds the
+        # bbox pruning keeps most tiles live and the payload-carrying
+        # extraction costs ~2x the dense kernel's (measured 22.5 vs
+        # 10.2 ms at 16k) — it only wins on locally-dense scans.
+        if not (dtype == jnp.float32 and num_neighbors <= 64):
+            raise ValueError(
+                "neighbor_mode='fused' needs f32 points and k<=64"
+            )
+        from small_gicp_tpu.ops.cov_fused_pallas import knn_moments_pallas
 
-        sq_dists, idx = knn_windowed(
-            points, num_points, num_neighbors, cell=window_cell
+        m1, m2, counts = knn_moments_pallas(
+            points, num_points, num_neighbors,
+            interpret=jax.default_backend() != "tpu",
         )
-    elif neighbor_mode != "exact":
-        raise ValueError(
-            f"unknown neighbor_mode {neighbor_mode!r}; have 'exact', 'window'"
+        m1 = m1.astype(dtype)
+        m2 = m2.astype(dtype)
+        counts = counts.astype(dtype)
+        safe_counts = jnp.maximum(counts, 1.0)
+        mean = m1 / safe_counts[:, None]
+        cov = (
+            m2 / safe_counts[:, None, None]
+            - mean[:, :, None] * mean[:, None, :]
         )
     else:
-        # Route through the KdTree dispatcher so the Pallas-vs-XLA
-        # choice lives in exactly one place (ops/knn.py).
-        sq_dists, idx = KdTree(
-            points=points, num_points=num_points
-        ).knn_search(xyz, num_neighbors)
-    neighbor_valid = sq_dists < _VALID_NEIGHBOR_SQ_DIST  # [N,k]
-    w = neighbor_valid.astype(dtype)
-    counts = jnp.sum(w, axis=-1)  # [N]
+        if neighbor_mode == "window":
+            # O(N·W) Morton-banded self-search (ops/knn_window.py) — the
+            # odometry fast path; recall/covariance quality bounded in
+            # tests/test_knn_window.py.
+            from small_gicp_tpu.ops.knn_window import knn_windowed
 
-    # Center neighbors on the query point before accumulating moments: the
-    # covariance is translation-invariant, and centering avoids the f32
-    # cancellation in E[ppᵀ] − μμᵀ that the reference never sees because it
-    # accumulates in f64 (normal_estimation.hpp:77-86).
-    neigh = xyz[idx] - xyz[:, None, :]  # [N,k,3]
-    neigh = jnp.where(neighbor_valid[..., None], neigh, 0.0)
-    safe_counts = jnp.maximum(counts, 1.0)
-    mean = jnp.sum(neigh, axis=1) / safe_counts[:, None]  # [N,3]
-    sum_cross = jnp.einsum("nkd,nke->nde", neigh, neigh,
-                          precision=jax.lax.Precision.HIGHEST)  # [N,3,3]
-    cov = sum_cross / safe_counts[:, None, None] - mean[:, :, None] * mean[:, None, :]
+            sq_dists, idx = knn_windowed(
+                points, num_points, num_neighbors, cell=window_cell
+            )
+        elif neighbor_mode != "exact":
+            raise ValueError(
+                f"unknown neighbor_mode {neighbor_mode!r}; "
+                "have 'exact', 'window', 'fused'"
+            )
+        else:
+            # Route through the KdTree dispatcher so the Pallas-vs-XLA
+            # choice lives in exactly one place (ops/knn.py).
+            sq_dists, idx = KdTree(
+                points=points, num_points=num_points
+            ).knn_search(xyz, num_neighbors)
+        neighbor_valid = sq_dists < _VALID_NEIGHBOR_SQ_DIST  # [N,k]
+        w = neighbor_valid.astype(dtype)
+        counts = jnp.sum(w, axis=-1)  # [N]
+
+        # Center neighbors on the query point before accumulating
+        # moments: the covariance is translation-invariant, and centering
+        # avoids the f32 cancellation in E[ppᵀ] − μμᵀ that the reference
+        # never sees because it accumulates in f64
+        # (normal_estimation.hpp:77-86).
+        neigh = xyz[idx] - xyz[:, None, :]  # [N,k,3]
+        neigh = jnp.where(neighbor_valid[..., None], neigh, 0.0)
+        safe_counts = jnp.maximum(counts, 1.0)
+        mean = jnp.sum(neigh, axis=1) / safe_counts[:, None]  # [N,3]
+        sum_cross = jnp.einsum("nkd,nke->nde", neigh, neigh,
+                              precision=jax.lax.Precision.HIGHEST)  # [N,3,3]
+        cov = (
+            sum_cross / safe_counts[:, None, None]
+            - mean[:, :, None] * mean[:, None, :]
+        )
 
     # Only the smallest eigenvector is ever needed: the normal IS that
     # vector, and the plane regularization V·diag(1e-3,1,1)·Vᵀ equals

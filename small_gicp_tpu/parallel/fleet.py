@@ -337,3 +337,91 @@ def align_fleet(
         block_q=int(block_q),
         interpret=bool(interpret),
     )
+
+
+def align_fleet_sharded(
+    targets: PointCloud,
+    sources: PointCloud,
+    init_Ts: jax.Array,
+    mesh,
+    pair_ids: Optional[jax.Array] = None,
+    axis_name: str = "data",
+    num_lanes_per_device: int = 32,
+    prepared=None,
+    interpret: Optional[bool] = None,
+    **kwargs,
+) -> RegistrationResult:
+    """Fleet registration with lanes sharded over a device mesh.
+
+    The problem queue [P] splits into D contiguous shards; each device
+    runs an INDEPENDENT persistent-lane fleet (num_lanes_per_device
+    resident lanes, device-local refill) over its shard, with the
+    prepared pair tables replicated. The per-device while loop has no
+    collectives in its body, so devices drain their queues
+    asynchronously — the multi-chip shape where the fleet's saturation
+    argument inverts (one 6.6k-pair problem already saturates a single
+    chip's VPU, so extra lanes only pay off on extra chips). This is
+    the scale-out analog of the reference's flow-graph odometry keeping
+    ~128 threads busy (odometry_benchmark_small_gicp_tbb_flow.cpp:56-141).
+
+    P must divide evenly by the mesh size (pad the queue with repeated
+    problems and drop the extras if needed). Per-problem results are
+    EXACTLY align_fleet's (scheduling never changes a problem's
+    iterates), so they equal align_impl row-for-row.
+
+    kwargs forward to the single-device fleet (max_iterations, eps, ...).
+    """
+    from jax.sharding import PartitionSpec as P_
+    from jax import shard_map
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if prepared is None:
+        prepared = fleet_prepare(targets, sources,
+                                 block_q=kwargs.get("block_q", 512))
+    ttabs, tbs, qtabs, qbbs = prepared
+
+    init_Ts = jnp.asarray(init_Ts, jnp.float32)
+    if init_Ts.ndim == 2:
+        init_Ts = init_Ts[None]
+    P = init_Ts.shape[0]
+    U = ttabs.shape[0]
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if P % n_dev != 0:
+        raise ValueError(
+            f"P={P} problems must divide evenly over {n_dev} devices"
+        )
+    if pair_ids is None:
+        if U == 1:
+            pair_ids = jnp.zeros((P,), jnp.int32)
+        elif P == U:
+            pair_ids = jnp.arange(P, dtype=jnp.int32)
+        else:
+            raise ValueError(
+                f"pair_ids required when P={P} problems != U={U} pairs"
+            )
+    pair_ids = jnp.asarray(pair_ids, jnp.int32)
+
+    def device_fleet(tt, tb, qt, qb, pids, Ts):
+        return align_fleet(
+            None, None, Ts,
+            pair_ids=pids,
+            num_lanes=num_lanes_per_device,
+            prepared=(tt, tb, qt, qb),
+            interpret=interpret,
+            **kwargs,
+        )
+
+    rep = P_()  # replicated pair tables
+    shd = P_(axis_name)  # problem axis sharded
+    fn = shard_map(
+        device_fleet,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shd, shd),
+        out_specs=RegistrationResult(
+            T_target_source=shd, converged=shd, iterations=shd,
+            num_inliers=shd, H=shd, b=shd, error=shd,
+        ),
+        check_vma=False,
+    )
+    return fn(ttabs, tbs, qtabs, qbbs, pair_ids, init_Ts)

@@ -188,3 +188,49 @@ def test_fleet_bundled_pair_reference_bounds(bundled_pair):
         dt = np.linalg.norm(Tr[:3, 3] - np.asarray(T_gt)[:3, 3])
         assert bool(r.converged[p])
         assert ang < 2.5 and dt < 0.2
+
+
+def test_fleet_sharded_matches_single_device(rng):
+    """Lanes sharded over an 8-device CPU mesh: per-problem results must
+    equal the single-device fleet's (device-local queues never change a
+    problem's iterates)."""
+    from jax.sharding import Mesh
+    from small_gicp_tpu.parallel.fleet import align_fleet_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest sets XLA_FLAGS)")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    target, source = _pair(rng, 400, 500, 512)
+    init_Ts = _poses(rng, 16)
+    single = align_fleet(target, source, init_Ts, num_lanes=4)
+    sharded = align_fleet_sharded(
+        target, source, init_Ts, mesh, num_lanes_per_device=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.T_target_source),
+        np.asarray(single.T_target_source), atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.iterations), np.asarray(single.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.converged), np.asarray(single.converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.num_inliers), np.asarray(single.num_inliers)
+    )
+
+
+def test_fleet_sharded_rejects_uneven_queue(rng):
+    from jax.sharding import Mesh
+    from small_gicp_tpu.parallel.fleet import align_fleet_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    target, source = _pair(rng, 100, 120, 512)
+    with pytest.raises(ValueError, match="divide evenly"):
+        align_fleet_sharded(target, source, _poses(rng, 9), mesh)

@@ -108,3 +108,58 @@ def test_trials_kernel_matches_error_multi(rng):
         corr16, sorted_src, Ts, source.num_points, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+
+@pytest.mark.parametrize("factor", ["plane_icp", "icp"])
+def test_fused_other_factors_match_xla(rng, factor):
+    """The fused kernel's plane-ICP (W = diag(n∘n),
+    plane_icp_factor.hpp:43-54) and point-to-point ICP (W = I,
+    icp_factor.hpp:34-53) variants match the XLA correspondence +
+    linearize path."""
+    target, source = _pair(rng)
+    if factor == "plane_icp":
+        nrm = rng.normal(size=(len(np.asarray(target.points)), 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        n4 = np.zeros((nrm.shape[0], 4), np.float32)
+        n4[:, :3] = nrm
+        target = target.replace(normals=jnp.asarray(n4))
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    max_d2 = jnp.asarray(1.0, jnp.float32)
+
+    corr = _search_correspondences(
+        factor, target, None, source.points, source.num_points,
+        None, T, max_d2,
+    )
+    H_ref, b_ref, e_ref = factors.linearize(corr, T, source.points)
+
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
+        target.points, None, source.points, None,
+        T, source.num_points, max_d2, interpret=True, factor=factor,
+        target_normals=target.normals,
+    )
+    assert np.array_equal(np.asarray(mask), np.asarray(corr.mask))
+    np.testing.assert_allclose(np.asarray(W)[np.asarray(mask)],
+                               np.asarray(corr.W)[np.asarray(mask)],
+                               rtol=2e-3, atol=2e-3)
+    scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+    np.testing.assert_allclose(np.asarray(H) / scale,
+                               np.asarray(H_ref) / scale, atol=5e-4)
+    bscale = max(1.0, float(np.abs(np.asarray(b_ref)).max()))
+    np.testing.assert_allclose(np.asarray(b) / bscale,
+                               np.asarray(b_ref) / bscale, atol=5e-4)
+    # frozen-correspondence trial errors flow through the same generic
+    # W rows of corr16 — pin them against factors.error_multi too.
+    from small_gicp_tpu.ops.gicp_fused_pallas import gicp_error_multi_pallas
+
+    Ts = jnp.stack([T, se3_exp(jnp.asarray(
+        [0.01, 0.0, -0.02, 0.1, 0.0, -0.05], jnp.float32)) @ T])
+    errs = gicp_error_multi_pallas(
+        corr16, sorted_src, Ts, source.num_points, interpret=True
+    )
+    e_multi = factors.error_multi(
+        factors.Correspondences(target_mu=mu, W=W, mask=mask,
+                                target_idx=jnp.zeros_like(mask, jnp.int32)),
+        Ts, source.points,
+    )
+    np.testing.assert_allclose(np.asarray(errs), np.asarray(e_multi),
+                               rtol=1e-4)

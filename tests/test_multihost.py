@@ -192,3 +192,65 @@ print("FALLBACK_OK")
         timeout=300, env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert "FALLBACK_OK" in r.stdout, (r.stdout, r.stderr)
+
+
+def test_two_process_pod_scaling(tmp_path):
+    """The pod-ready scaling benchmark (apps/pod_scaling.py) runs
+    end-to-end across a real process boundary: two OS processes form an
+    8-device mesh and measure the batch mode; process 0 must emit the
+    JSON record. This is the CI-path stand-in for the one-command pod
+    run the ≥80% north star calls for."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        .replace("--xla_force_host_platform_device_count=8", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    runner = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import sys; from small_gicp_tpu.apps.pod_scaling import main; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", runner,
+             "--modes", "batch", "--points", "256",
+             "--problems-per-device", "1", "--reps", "1",
+             "--coordinator", coord, "--num-processes", "2",
+             "--process-id", str(i),
+             "--save-baseline", str(tmp_path / "base.json")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=220)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("pod_scaling workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    import json as _json
+
+    rec_lines = [
+        l for l in outs[0].splitlines() if l.startswith("{")
+    ]
+    assert rec_lines, outs[0]
+    rec = _json.loads(rec_lines[0])
+    assert rec["mode"] == "batch" and rec["devices"] == 8
+    assert rec["processes"] == 2 and rec["throughput"] > 0
+    assert (tmp_path / "base.json").exists()

@@ -106,3 +106,32 @@ def test_cov_moment_formula(rng):
     _, vecs_ref = np.linalg.eigh(cloud_cov)
     reg_ref = vecs_ref @ np.diag([1e-3, 1.0, 1.0]) @ vecs_ref.T
     assert np.allclose(covs, reg_ref, atol=1e-7)
+
+
+def test_fused_moments_mode_matches_exact(rng):
+    """neighbor_mode='fused' (ops/cov_fused_pallas list-driven moments
+    kernel, interpreter on CPU) must reproduce the exact path's
+    covariances and normals."""
+    import jax
+    import jax.numpy as jnp
+    from small_gicp_tpu.ops.normals import _estimate_impl
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    n = 1500
+    pts = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    pts[:, 2] = np.sin(pts[:, 0] * 0.3) + 0.05 * rng.normal(size=n)
+    cloud = PointCloud.from_points(pts, capacity=2048)
+    nrm_e, cov_e = _estimate_impl(
+        cloud.points, cloud.num_points, 20, True, True,
+        neighbor_mode="exact",
+    )
+    nrm_f, cov_f = _estimate_impl(
+        cloud.points, cloud.num_points, 20, True, True,
+        neighbor_mode="fused",
+    )
+    np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_e),
+                               atol=2e-4)
+    # normals match up to sign (sign is fixed by the viewpoint flip, so
+    # they should match exactly-ish)
+    np.testing.assert_allclose(np.asarray(nrm_f), np.asarray(nrm_e),
+                               atol=2e-3)
