@@ -156,18 +156,130 @@ def _make_moments_kernel(k: int, ts: int, L: int):
     return kernel
 
 
+def _make_moments_kernel_T(k: int, ts: int, L: int, kp: int):
+    """Transposed-layout variant: queries on the LANE axis, targets on
+    sublanes — the layout that makes the fused GICP kernel fast
+    (ops/gicp_fused_pallas.py): every per-pass reduction (min / argmin /
+    winner-select) runs along SUBLANES, which the VPU reduces with a few
+    shuffle steps, instead of along 128 lanes. Top-k slots live as
+    [kp, BQ] scratch rows (kp = k padded to a sublane multiple) and
+    insertion shifts along the sublane axis.
+
+    lists_ref: SMEM [1, nQB*L]; counts_ref: SMEM [1, nQB];
+    t_ref: VMEM [8, MP] dense rows x,y,z (a [MP, 8] row-major window
+    would pad its 8 lanes to 128 — an 8x VMEM waste that blew the 16 MB
+    scoped limit at 16k; instead each tile pays three thin [1,ts]→[ts,1]
+    transposes, the same trade the fused GICP kernel's transposed mode
+    makes); q_ref: VMEM [8, BQ] rows x,y,z; out_ref: VMEM [16, BQ]
+    moment rows.
+    """
+
+    def kernel(lists_ref, counts_ref, t_ref, q_ref, out_ref,
+               rd, rdx, rdy, rdz):
+        qi = pl.program_id(0)
+        mp = t_ref.shape[1]
+        n_tt = mp // ts
+        bq = q_ref.shape[1]
+
+        cnt = counts_ref[0, qi]
+        use_list = cnt <= L
+        n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
+
+        rd[:] = jnp.full_like(rd, _BIG)
+        rdx[:] = jnp.zeros_like(rdx)
+        rdy[:] = jnp.zeros_like(rdy)
+        rdz[:] = jnp.zeros_like(rdz)
+
+        qx = q_ref[0:1, :]
+        qy = q_ref[1:2, :]
+        qz = q_ref[2:3, :]
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
+
+        def visit(t, carry):
+            jl = jnp.where(
+                use_list,
+                lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+                t.astype(jnp.int32),
+            )
+            t16 = t_ref[:, pl.ds(jl * ts, ts)]  # [8, ts]
+            tx_ = jnp.transpose(t16[0:1, :], (1, 0))  # [ts, 1]
+            ty_ = jnp.transpose(t16[1:2, :], (1, 0))
+            tz_ = jnp.transpose(t16[2:3, :], (1, 0))
+            dx = tx_ - qx  # p − q, [ts, BQ]
+            dy = ty_ - qy
+            dz = tz_ - qz
+            d2 = dx * dx + dy * dy + dz * dz
+
+            run_d, run_x, run_y, run_z = rd[:], rdx[:], rdy[:], rdz[:]
+            for _ in range(k):
+                m = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
+                midx = jnp.min(
+                    jnp.where(d2 <= m, row0, jnp.int32(2**30)),
+                    axis=0, keepdims=True,
+                )
+                sel = row0 == midx
+                wx = jnp.sum(jnp.where(sel, dx, 0.0), axis=0, keepdims=True)
+                wy = jnp.sum(jnp.where(sel, dy, 0.0), axis=0, keepdims=True)
+                wz = jnp.sum(jnp.where(sel, dz, 0.0), axis=0, keepdims=True)
+                d2 = jnp.where(sel, _BIG, d2)
+                gt = run_d > m  # [kp, BQ], sorted rows: False then True
+                prev_d = jnp.concatenate(
+                    [jnp.full_like(run_d[:1], -_BIG), run_d[:-1]], axis=0
+                )
+                prev_x = jnp.concatenate([run_x[:1], run_x[:-1]], axis=0)
+                prev_y = jnp.concatenate([run_y[:1], run_y[:-1]], axis=0)
+                prev_z = jnp.concatenate([run_z[:1], run_z[:-1]], axis=0)
+                prev_gt = prev_d > m
+                run_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+                run_x = jnp.where(gt, jnp.where(prev_gt, prev_x, wx), run_x)
+                run_y = jnp.where(gt, jnp.where(prev_gt, prev_y, wy), run_y)
+                run_z = jnp.where(gt, jnp.where(prev_gt, prev_z, wz), run_z)
+            rd[:] = run_d
+            rdx[:] = run_x
+            rdy[:] = run_y
+            rdz[:] = run_z
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, visit, 0, unroll=1)
+
+        run_d, run_x, run_y, run_z = rd[:], rdx[:], rdy[:], rdz[:]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (kp, bq), 0)
+        v = ((run_d < _VALID_SQ) & (slot < k)).astype(jnp.float32)
+        vx = run_x * v
+        vy = run_y * v
+        vz = run_z * v
+        rows_out = [
+            jnp.sum(vx, axis=0, keepdims=True),
+            jnp.sum(vy, axis=0, keepdims=True),
+            jnp.sum(vz, axis=0, keepdims=True),
+            jnp.sum(vx * run_x, axis=0, keepdims=True),
+            jnp.sum(vx * run_y, axis=0, keepdims=True),
+            jnp.sum(vx * run_z, axis=0, keepdims=True),
+            jnp.sum(vy * run_y, axis=0, keepdims=True),
+            jnp.sum(vy * run_z, axis=0, keepdims=True),
+            jnp.sum(vz * run_z, axis=0, keepdims=True),
+            jnp.sum(v, axis=0, keepdims=True),
+            run_d[k - 1:k, :],
+        ]
+        rows_out += [jnp.zeros_like(rows_out[0])] * (16 - len(rows_out))
+        out_ref[:] = jnp.concatenate(rows_out, axis=0)
+
+    return kernel
+
+
 @partial(
     jax.jit,
-    static_argnames=("k", "block_q", "ts", "window", "interpret"),
+    static_argnames=("k", "block_q", "ts", "window", "interpret", "layout"),
 )
 def knn_moments_pallas(
     points: jax.Array,  # [N,4] padded homogeneous
     num_points: jax.Array,  # scalar int32
     k: int,
-    block_q: int = 256,
+    block_q: int = 512,
     ts: int = 1024,
     window: int = 0,  # 0 = auto
     interpret: bool = False,
+    layout: str = "t",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exact self-kNN moments: returns (m1 [N,3] = Σ(p−q) over the k
     nearest, m2 [N,3,3] = Σ(p−q)(p−q)ᵀ, counts [N]) in ORIGINAL row
@@ -262,32 +374,64 @@ def knn_moments_pallas(
     key = jnp.where(live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30))
     lists = jnp.sort(key, axis=1)[:, :L].reshape(1, n_qb * L)
 
-    t = jnp.concatenate([sc_p, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
-    q = jnp.concatenate([scq, jnp.zeros((qp, 5), jnp.float32)], axis=1)
+    if layout == "t":
+        # Transposed layout: queries on lanes, targets on sublanes.
+        kp = (k + 7) // 8 * 8
+        t = jnp.concatenate([sc_p, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+        q = jnp.concatenate([scq, jnp.zeros((qp, 5), jnp.float32)], axis=1).T
+        with jax.enable_x64(False):
+            out_t = pl.pallas_call(
+                _make_moments_kernel_T(k, ts, L, kp),
+                grid=(n_qb,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((8, mp), lambda qi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, block_q), lambda qi: (0, qi),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((16, block_q), lambda qi: (0, qi),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((16, qp), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((kp, block_q), jnp.float32),
+                    pltpu.VMEM((kp, block_q), jnp.float32),
+                    pltpu.VMEM((kp, block_q), jnp.float32),
+                    pltpu.VMEM((kp, block_q), jnp.float32),
+                ],
+                interpret=interpret,
+            )(lists, counts[None, :], t, q)
+        out = out_t.T
+    elif layout == "q":
+        t = jnp.concatenate([sc_p, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+        q = jnp.concatenate([scq, jnp.zeros((qp, 5), jnp.float32)], axis=1)
 
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            _make_moments_kernel(k, ts, L),
-            grid=(n_qb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, mp), lambda qi: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_q, 8), lambda qi: (qi, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((block_q, 16), lambda qi: (qi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((qp, 16), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.float32),
-                pltpu.VMEM((block_q, k), jnp.float32),
-            ],
-            interpret=interpret,
-        )(lists, counts[None, :], t, q)
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                _make_moments_kernel(k, ts, L),
+                grid=(n_qb,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((8, mp), lambda qi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block_q, 8), lambda qi: (qi, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_q, 16), lambda qi: (qi, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((qp, 16), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, k), jnp.float32),
+                    pltpu.VMEM((block_q, k), jnp.float32),
+                    pltpu.VMEM((block_q, k), jnp.float32),
+                    pltpu.VMEM((block_q, k), jnp.float32),
+                ],
+                interpret=interpret,
+            )(lists, counts[None, :], t, q)
+    else:
+        raise ValueError(f"unknown layout {layout!r} (use 't' or 'q')")
 
     # Unsort ONE compact [N,16] row table (the only gather this path
     # pays; the XLA pipeline gathers [N,k] neighbor rows instead).
