@@ -1078,6 +1078,9 @@ def gicp_fleet_prepare(
     tbs = tbs.reshape(tbs.shape[0], -1)  # [U,1,n_tt*8] -> [U,n_tt*8]
 
     u, _, qp = qtabs.shape
+    # gicp_prepare clamps block_q to the (128-rounded) capacity; mirror
+    # that here — qp IS the clamped block size when capacity < block_q.
+    block_q = min(block_q, qp)
     n_qb = qp // block_q
     xyz = qtabs[:, 0:3, :].reshape(u, 3, n_qb, block_q)
     val = (qtabs[:, 12:13, :] > 0.5).reshape(u, 1, n_qb, block_q)
@@ -1166,6 +1169,7 @@ def gicp_linearize_fleet(
     qp = qtabs.shape[2]
     n_tt = tbs.shape[1] // 8
     ts = mp // n_tt
+    block_q = min(block_q, qp)  # small-capacity pairs (see fleet_prepare)
     n_qb = qp // block_q
     bsz = uids.shape[0]
     if mp > 65536:

@@ -222,3 +222,101 @@ def test_fleet_align_compiled_matches_sequential(bundled_pair):
     np.testing.assert_allclose(
         np.asarray(r.T_target_source), T_s, atol=2e-3
     )
+
+
+@requires_tpu
+def test_fused_plane_icp_and_icp_compiled(rng):
+    """The generalized fused kernel's plane-ICP / ICP variants,
+    COMPILED (Mosaic), must match the XLA path pose-for-pose through a
+    full align (interpreter parity is in test_gicp_fused.py)."""
+    from small_gicp_tpu.models.registration import align_impl
+    from small_gicp_tpu.point_cloud import PointCloud
+    from small_gicp_tpu.ops.normals import estimate_normals
+    from small_gicp_tpu.utils.lie import se3_exp
+
+    tp = rng.uniform(-8, 8, size=(1500, 3)).astype(np.float32)
+    tp[:, 2] = np.sin(tp[:, 0]) * 0.5 + 0.05 * rng.normal(size=1500)
+    sp = tp[rng.permutation(1500)[:1200]] + rng.normal(
+        scale=0.03, size=(1200, 3)).astype(np.float32)
+    target = estimate_normals(PointCloud.from_points(tp, capacity=2048),
+                              num_neighbors=10)
+    source = PointCloud.from_points(sp, capacity=2048)
+    T0 = se3_exp(jnp.asarray([0.01, -0.02, 0.02, 0.05, -0.08, 0.03],
+                             jnp.float32))
+    for rtype in ("plane_icp", "icp"):
+        a = align_impl(target, source, None, T0, registration_type=rtype)
+        b = align_impl(target, source, None, T0, registration_type=rtype,
+                       use_fused="never")
+        a, b = jax.device_get((a, b))
+        assert int(a.iterations) == int(b.iterations), rtype
+        assert int(a.num_inliers) == int(b.num_inliers), rtype
+        np.testing.assert_allclose(
+            np.asarray(a.T_target_source), np.asarray(b.T_target_source),
+            atol=1e-5, err_msg=rtype,
+        )
+
+
+@requires_tpu
+def test_knn_moments_compiled_matches_oracle(rng):
+    """The fused covariance-moments kernel (both layouts), COMPILED,
+    vs the dense-kNN moment oracle."""
+    from small_gicp_tpu.ops.cov_fused_pallas import knn_moments_pallas
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas
+    from small_gicp_tpu.point_cloud import PointCloud
+
+    n, k = 4096, 20
+    pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    pts[:, 2] = np.sin(pts[:, 0] * 0.3) + 0.05 * rng.normal(size=n)
+    cloud = PointCloud.from_points(pts)
+    d, i = jax.device_get(knn_pallas(cloud.points, cloud.points[:, :3], k))
+    valid = d < 1e16
+    neigh = np.where(valid[..., None], pts[i] - pts[:, None, :], 0.0)
+    m1_ref = neigh.sum(1)
+    m2_ref = np.einsum("nkd,nke->nde", neigh, neigh)
+    for layout in ("t", "q"):
+        m1, m2, cnt = jax.device_get(knn_moments_pallas(
+            cloud.points, cloud.num_points, k, layout=layout))
+        np.testing.assert_array_equal(cnt, valid.sum(1))
+        np.testing.assert_allclose(m1, m1_ref, atol=2e-4, err_msg=layout)
+        np.testing.assert_allclose(m2, m2_ref, atol=2e-3, rtol=1e-4,
+                                   err_msg=layout)
+
+
+@requires_tpu
+def test_fleet_sharded_single_device_mesh(rng):
+    """align_fleet_sharded on a 1-device TPU mesh must equal the plain
+    fleet (the shard_map plumbing itself, compiled)."""
+    from jax.sharding import Mesh
+    from small_gicp_tpu.parallel.fleet import align_fleet, align_fleet_sharded
+    from small_gicp_tpu.point_cloud import PointCloud
+    from small_gicp_tpu.utils.lie import se3_exp
+
+    tp = rng.uniform(-8, 8, size=(700, 3)).astype(np.float32)
+    tp[:, 2] = np.sin(tp[:, 0]) * 0.5
+    sp = tp[rng.permutation(700)[:600]] + rng.normal(
+        scale=0.03, size=(600, 3)).astype(np.float32)
+
+    def covs(pts, cap):
+        a = rng.normal(size=(len(pts), 3, 3)).astype(np.float32) * 0.05
+        c = np.einsum("nij,nkj->nik", a, a) + np.eye(3, dtype=np.float32) * 0.01
+        out = np.zeros((cap, 3, 3), np.float32)
+        out[:len(pts)] = c
+        return jnp.asarray(out)
+
+    target = PointCloud.from_points(tp, capacity=1024).replace(
+        covs=covs(tp, 1024))
+    source = PointCloud.from_points(sp, capacity=1024).replace(
+        covs=covs(sp, 1024))
+    Ts = jnp.stack([
+        se3_exp(jnp.asarray(t, jnp.float32))
+        for t in rng.normal(size=(8, 6)) * np.r_[[0.02] * 3, [0.1] * 3]
+    ])
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    single = jax.device_get(align_fleet(target, source, Ts, num_lanes=4))
+    sharded = jax.device_get(align_fleet_sharded(
+        target, source, Ts, mesh, num_lanes_per_device=4))
+    np.testing.assert_allclose(
+        np.asarray(sharded.T_target_source),
+        np.asarray(single.T_target_source), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.iterations), np.asarray(single.iterations))
