@@ -159,7 +159,14 @@ def odometry_scan_step(
         max_dist_sq=max_correspondence_distance**2,
     )
     real = frame_count > 0
-    T_new = jnp.where(is_first | ~real, T_world, result.T_target_source)
+    from small_gicp_tpu.utils.lie import orthonormalize
+
+    # Re-project the estimated rotation onto SO(3) each frame: f32 pose
+    # composition (guess = previous pose, hundreds of frames) otherwise
+    # drifts off-manifold — drift the f64 reference never accumulates.
+    T_new = jnp.where(
+        is_first | ~real, T_world, orthonormalize(result.T_target_source)
+    )
     delta_new = jnp.where(
         is_first | ~real, T_delta, rigid_inverse(T_world) @ T_new
     )

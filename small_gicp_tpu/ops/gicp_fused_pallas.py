@@ -842,10 +842,16 @@ def gicp_linearize_tables(
                 interpret=interpret,
             )(nt, tb, ttab, qtab)
 
-    sums = jnp.sum(acc, axis=0) / 8.0  # 8 replicated rows per block
-    H = sums[:36].reshape(6, 6)
-    b = sums[36:42]
-    inliers = sums[43]
+    # Cross-block accumulation in f64 (when available), like the
+    # reference's double reduction accumulators (reduction.hpp); per-
+    # block sums are f32 over ≤block_q terms inside the kernel.
+    from small_gicp_tpu.models.factors import _error_accum_dtype
+
+    acc_dt = _error_accum_dtype(jnp.float32)
+    sums = jnp.sum(acc.astype(acc_dt), axis=0) / 8.0  # 8 replicated rows
+    H = sums[:36].reshape(6, 6).astype(jnp.float32)
+    b = sums[36:42].astype(jnp.float32)
+    inliers = sums[43].astype(jnp.float32)
     return H, b, inliers, corr
 
 
@@ -1247,12 +1253,17 @@ def gicp_linearize_fleet(
             interpret=interpret,
         )(uids.astype(jnp.int32), nt, lists, counts, ttabs, qtabs)
 
+    from small_gicp_tpu.models.factors import _error_accum_dtype
+
+    acc_dt = _error_accum_dtype(jnp.float32)
     sums = (
-        jnp.sum(acc.reshape(bsz, n_qb * 8, 128), axis=1) / 8.0
-    )  # [B,128]; 8 replicated rows per block
-    H = sums[:, :36].reshape(bsz, 6, 6)
-    b = sums[:, 36:42]
-    inliers = sums[:, 43]
+        jnp.sum(acc.reshape(bsz, n_qb * 8, 128).astype(acc_dt), axis=1)
+        / 8.0
+    )  # [B,128]; 8 replicated rows per block; f64 cross-block like the
+    # reference's double reduction accumulators
+    H = sums[:, :36].reshape(bsz, 6, 6).astype(jnp.float32)
+    b = sums[:, 36:42].astype(jnp.float32)
+    inliers = sums[:, 43].astype(jnp.float32)
     return H, b, inliers, corr
 
 

@@ -161,3 +161,24 @@ def rigid_inverse(T):
     Ti = Ti.at[:3, :3].set(R.T)
     Ti = Ti.at[:3, 3].set(-R.T @ t)
     return Ti
+
+
+def orthonormalize(T):
+    """Re-project the rotation block of a rigid transform onto SO(3)
+    (symmetric orthogonalization via one SVD-free Newton-ish sweep:
+    R ← R·(3I − RᵀR)/2, quadratically convergent near SO(3)).
+
+    f32 pose composition accumulates off-manifold drift over long
+    odometry runs (hundreds of T·exp(δ) compositions) that the
+    reference never sees because its poses are f64
+    (Eigen::Isometry3d); one sweep restores orthogonality to ~f32
+    roundoff for inputs within ~1e-3 of SO(3). The translation is
+    untouched.
+    """
+    import jax.numpy as jnp
+
+    R = T[..., :3, :3]
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    eye3 = jnp.eye(3, dtype=T.dtype)
+    R = R @ (1.5 * eye3 - 0.5 * RtR)
+    return T.at[..., :3, :3].set(R)

@@ -77,3 +77,25 @@ def test_rotation_error_deg():
     Rb = so3_exp(jnp.asarray(w))
     err = float(rotation_error_deg(Ra, Rb))
     assert abs(err - 5.0) < 1e-9
+
+
+def test_orthonormalize():
+    """One Newton sweep restores a near-SO(3) rotation to orthonormal
+    within f32 roundoff; exact rotations are fixed points."""
+    import jax.numpy as jnp
+    from small_gicp_tpu.utils.lie import orthonormalize, so3_exp
+
+    rng = np.random.default_rng(0)
+    R = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R + rng.normal(scale=3e-4, size=(3, 3))  # off-manifold
+    T[:3, 3] = [1.0, -2.0, 0.5]
+    out = np.asarray(orthonormalize(jnp.asarray(T)))
+    RtR = out[:3, :3].T @ out[:3, :3]
+    assert np.abs(RtR - np.eye(3)).max() < 2e-6
+    np.testing.assert_allclose(out[:3, 3], T[:3, 3])  # translation intact
+    # fixed point on an exact rotation
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = R
+    out2 = np.asarray(orthonormalize(jnp.asarray(T2)))
+    np.testing.assert_allclose(out2, T2, atol=1e-6)

@@ -223,7 +223,7 @@ def test_two_process_pod_scaling(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", runner,
-             "--modes", "batch", "--points", "256",
+             "--modes", "batch,fleet", "--points", "256",
              "--problems-per-device", "1", "--reps", "1",
              "--coordinator", coord, "--num-processes", "2",
              "--process-id", str(i),
@@ -249,8 +249,9 @@ def test_two_process_pod_scaling(tmp_path):
     rec_lines = [
         l for l in outs[0].splitlines() if l.startswith("{")
     ]
-    assert rec_lines, outs[0]
-    rec = _json.loads(rec_lines[0])
-    assert rec["mode"] == "batch" and rec["devices"] == 8
-    assert rec["processes"] == 2 and rec["throughput"] > 0
+    recs = {r["mode"]: r for r in map(_json.loads, rec_lines)}
+    assert set(recs) == {"batch", "fleet"}, outs[0]
+    for rec in recs.values():
+        assert rec["devices"] == 8 and rec["processes"] == 2
+        assert rec["throughput"] > 0
     assert (tmp_path / "base.json").exists()
