@@ -375,6 +375,141 @@ def knn_pallas_pruned(
     return dist[:q].astype(query_points.dtype), idx
 
 
+def _make_knn_kernel_T(k: int, kp: int):
+    """Transposed-layout dense top-k: queries on LANES, targets on
+    SUBLANES — every per-pass reduction (min / argmin / mask) runs
+    along the sublane axis, which the VPU reduces with a few shuffle
+    steps instead of a full cross-lane tree (the layout lesson from the
+    fused GICP kernel). Top-k slots are [kp, BQ] rows (kp = k padded to
+    a sublane multiple); insertion shifts along sublanes.
+
+    t_ref: [8, BM] rows x,y,z (transposed per tile into [BM,1] coord
+    columns — three thin transposes); q_ref: [8, BQ] rows x,y,z;
+    outputs idx/dist [kp, BQ] blocks revisited across target steps.
+    """
+
+    def kernel(t_ref, q_ref, idx_ref, dist_ref):
+        mi = pl.program_id(1)
+
+        @pl.when(mi == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, _BIG)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+
+        bm = t_ref.shape[1]
+        bq = q_ref.shape[1]
+        tx = jnp.transpose(t_ref[0:1, :], (1, 0))  # [BM, 1]
+        ty = jnp.transpose(t_ref[1:2, :], (1, 0))
+        tz = jnp.transpose(t_ref[2:3, :], (1, 0))
+        dx = tx - q_ref[0:1, :]
+        dy = ty - q_ref[1:2, :]
+        dz = tz - q_ref[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz  # [BM, BQ]
+        row = jax.lax.broadcasted_iota(jnp.int32, (bm, bq), 0)
+        col_global = row + mi * bm
+
+        run_d = dist_ref[:]
+        run_i = idx_ref[:]
+        for _ in range(k):
+            m = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
+            midx = jnp.min(
+                jnp.where(d2 <= m, col_global, jnp.int32(2**30)),
+                axis=0, keepdims=True,
+            )
+            d2 = jnp.where(col_global == midx, _BIG, d2)
+            # sublane-axis insert (same semantics as _insert_sorted:
+            # strict >, incumbents keep ties — tiles are visited in
+            # index order so ties resolve to the lower index)
+            gt = run_d > m
+            prev_d = jnp.concatenate(
+                [jnp.full_like(run_d[:1], -_BIG), run_d[:-1]], axis=0
+            )
+            prev_i = jnp.concatenate([run_i[:1], run_i[:-1]], axis=0)
+            prev_gt = prev_d > m
+            run_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+            run_i = jnp.where(gt, jnp.where(prev_gt, prev_i, midx), run_i)
+        dist_ref[:] = run_d
+        idx_ref[:] = run_i
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("k", "block_q", "block_m", "interpret")
+)
+def knn_pallas_T(
+    target_points: jax.Array,
+    query_points: jax.Array,
+    k: int,
+    block_q: int = 512,
+    block_m: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Transposed-layout exact kNN (same contract as knn_pallas)."""
+    if k > 64:
+        raise ValueError(f"knn_pallas_T supports k<=64, got {k}")
+    m = target_points.shape[0]
+    q = query_points.shape[0]
+    kp = (k + 7) // 8 * 8
+
+    block_m = min(block_m, (m + 511) // 512 * 512)
+    block_q = min(block_q, (q + 127) // 128 * 128)
+
+    tc = jnp.clip(target_points[:, :3].astype(jnp.float32), -1.0e12, 1.0e12)
+    qc = query_points[:, :3].astype(jnp.float32)
+
+    mp = (m + block_m - 1) // block_m * block_m
+    qp = (q + block_q - 1) // block_q * block_q
+    if mp != m:
+        tc = jnp.concatenate(
+            [tc, jnp.full((mp - m, 3), 1.0e12, jnp.float32)], axis=0
+        )
+    if qp != q:
+        qc = jnp.concatenate([qc, jnp.zeros((qp - q, 3), jnp.float32)], axis=0)
+
+    t = jnp.concatenate([tc, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+    qq = jnp.concatenate([qc, jnp.zeros((qp, 5), jnp.float32)], axis=1).T
+
+    n_qb = qp // block_q
+    grid = (n_qb, mp // block_m)
+    with jax.enable_x64(False):
+        idx, dist = pl.pallas_call(
+            _make_knn_kernel_T(k, kp),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (8, block_m), lambda qi, mi: (0, mi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, block_q), lambda qi, mi: (0, qi),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (kp, block_q), lambda qi, mi: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (kp, block_q), lambda qi, mi: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_qb * kp, block_q), jnp.int32),
+                jax.ShapeDtypeStruct((n_qb * kp, block_q), jnp.float32),
+            ],
+            interpret=interpret,
+        )(t, qq)
+
+    # [n_qb*kp, BQ] -> [Q, k]
+    idx = idx.reshape(n_qb, kp, block_q).transpose(0, 2, 1).reshape(qp, kp)
+    dist = dist.reshape(n_qb, kp, block_q).transpose(0, 2, 1).reshape(qp, kp)
+    idx = jnp.minimum(idx[:q, :k], m - 1)
+    return dist[:q, :k].astype(query_points.dtype), idx
+
+
 def _make_knn_kernel(k: int):
     """Fused kNN kernel: k extraction passes over a VMEM-resident
     distance tile, merging into a running sorted [BQ, k] top-k list.

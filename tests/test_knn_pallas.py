@@ -169,3 +169,26 @@ def test_pruned_knn_duplicates_and_padding(rng):
     )
     assert np.array_equal(np.asarray(i), i_ref)
     np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("shape", [(3000, 2300, 20), (1000, 1000, 10)])
+def test_knn_pallas_T_matches_reference_kernel(rng, shape):
+    """The transposed-layout dense top-k (queries on lanes, sublane
+    reductions) must be BIT-identical to knn_pallas — indices and
+    distances — including on tie-heavy integer grids."""
+    from small_gicp_tpu.ops.knn_pallas import knn_pallas, knn_pallas_T
+
+    m, q, k = shape
+    if shape[0] == 1000:  # adversarial: exact duplicate distances
+        tp = rng.integers(0, 8, (m, 3)).astype(np.float32)
+        qp = tp[:q]
+    else:
+        tp = rng.uniform(-10, 10, (m, 3)).astype(np.float32)
+        qp = rng.uniform(-10, 10, (q, 3)).astype(np.float32)
+    t4 = jnp.concatenate(
+        [jnp.asarray(tp), jnp.ones((m, 1), jnp.float32)], axis=1
+    )
+    d_t, i_t = knn_pallas_T(t4, jnp.asarray(qp), k, interpret=True)
+    d_r, i_r = knn_pallas(t4, jnp.asarray(qp), k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_r))
+    np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_r))
