@@ -136,9 +136,9 @@ def main():
             file=sys.stderr, flush=True,
         )
 
-    raw_elapsed: list = []  # uncorrected wall times, emitted in the JSON
+    raw_elapsed: dict = {}  # mode label -> uncorrected wall times
 
-    def timed_reps(fn, n_reps=3):
+    def timed_reps(fn, n_reps=3, label="unlabeled"):
         """min over reps of (elapsed - per-rep sync latency when the
         tunnel is degraded). fn() must end in one device_get.
 
@@ -153,7 +153,7 @@ def main():
             t0 = time.perf_counter()
             fn()
             elapsed = time.perf_counter() - t0
-            raw_elapsed.append(round(elapsed, 4))
+            raw_elapsed.setdefault(label, []).append(round(elapsed, 4))
             if degraded:
                 syncs = sorted(sync_latency() for _ in range(3))
                 elapsed = elapsed - min(syncs[1], 0.9 * elapsed)
@@ -345,7 +345,7 @@ def main():
     jax.device_get(run_many(poses))  # warmup / compile
 
     scan_reg_per_sec = n_iters / timed_reps(
-        lambda: jax.device_get(run_many(poses)[0]), n_reps
+        lambda: jax.device_get(run_many(poses)[0]), n_reps, label="scan"
     )
 
     # Batched (throughput) mode: vmapped lanes with distinct noise poses.
@@ -375,7 +375,7 @@ def main():
     )
     jax.device_get(run_batched(bposes))
     batch_reg_per_sec = B * BREPS / timed_reps(
-        lambda: jax.device_get(run_batched(bposes)[0]), n_reps
+        lambda: jax.device_get(run_batched(bposes)[0]), n_reps, label="batch"
     )
 
     # Fleet (persistent-lane) mode: P problems streamed through B
@@ -394,7 +394,7 @@ def main():
     dog.phase("fleet mode (compile + runs)", budget(900, n_reps * 2 + 2))
     jax.device_get(run_fleet(poses))
     fleet_reg_per_sec = P / timed_reps(
-        lambda: jax.device_get(run_fleet(poses)[0]), n_reps
+        lambda: jax.device_get(run_fleet(poses)[0]), n_reps, label="fleet"
     )
 
     dog.cancel()

@@ -96,11 +96,34 @@ def main(argv=None) -> int:
         with open(args.baseline_json) as f:
             baseline = json.load(f)
 
+    # Cross-mesh barrier: block_until_ready on a result waits only for
+    # the LOCAL process's addressable shards, so in collective-free
+    # modes (batch, fleet) a straggling host would be excluded from the
+    # measured wall time and efficiency overstated. A psum over the
+    # whole mesh forces every device to have drained its queue before
+    # the clock reads.
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older JAX spelling
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as _P
+
+    _bar = jax.jit(shard_map(
+        lambda x: jax.lax.psum(x, "data"),
+        mesh=mesh, in_specs=_P("data"), out_specs=_P(),
+    ))
+    _bar_in = jnp.ones((n_dev,), jnp.float32)
+
+    def barrier():
+        _bar(_bar_in).block_until_ready()
+
     def measure(name, units, run):
         run()  # warmup/compile
+        barrier()
         t0 = time.perf_counter()
         for _ in range(args.reps):
             run()
+        barrier()  # global drain: the slowest device closes the clock
         wall = (time.perf_counter() - t0) / args.reps
         thr = units / wall
         per_dev = thr / n_dev
@@ -136,8 +159,23 @@ def main(argv=None) -> int:
         results[k] = v
 
     if "point" in modes:
+        # TRUE weak scaling: the per-device work must stay constant as
+        # devices grow. The SOURCE (the sharded axis) scales with the
+        # mesh; the TARGET (replicated, searched by every device) stays
+        # at the baseline size — otherwise per-query search cost grows
+        # with N and "efficiency" conflates algorithmic growth with
+        # scaling loss.
         n = args.points * n_dev
-        t2, s2 = _make_pair(n)
+        t2, s_small = _make_pair(args.points)
+        # Source = the transformed copy tiled n_dev times (still overlaps
+        # the target, so the optimizer does real work on every device).
+        from small_gicp_tpu.point_cloud import PointCloud as _PC
+
+        s2 = _PC(
+            points=jnp.tile(s_small.points, (n_dev, 1)),
+            num_points=jnp.asarray(n, jnp.int32),
+            covs=jnp.tile(s_small.covs, (n_dev, 1, 1)),
+        )
 
         def run_point():
             r = align_point_sharded(

@@ -143,7 +143,10 @@ class ScanToScanOdometry(_OdometryBase):
             self._prev = cur
             return self.T_world
         result = self.reg.align(self._prev, cur, None, None)
-        self.T_world = self.T_world @ result.T_target_source
+        from small_gicp_tpu.utils.lie import orthonormalize
+
+        # re-project: the running f32 rotation product drifts off SO(3)
+        self.T_world = orthonormalize(self.T_world @ result.T_target_source)
         self._prev = cur
         return self.T_world
 
@@ -193,6 +196,9 @@ class ScanToModelOdometry(_OdometryBase):
                  else self.T_world)
         result = self.reg.align(self.voxelmap, cur, None, guess)
         T_new = result.T_target_source
+        from small_gicp_tpu.utils.lie import orthonormalize
+
+        T_new = orthonormalize(T_new)  # keep the f32 rotation on SO(3)
         self.T_delta = rigid_inverse(self.T_world) @ T_new
         self.T_world = T_new
         self.voxelmap = self.voxelmap.insert(cur, self.T_world)
@@ -268,6 +274,9 @@ class VGICPModelOdometry(_OdometryBase):
                  else self.T_world)
         result = self.reg.align(self.voxelmap, cur, None, guess)
         T_new = result.T_target_source
+        from small_gicp_tpu.utils.lie import orthonormalize
+
+        T_new = orthonormalize(T_new)  # keep the f32 rotation on SO(3)
         self.T_delta = rigid_inverse(self.T_world) @ T_new
         self.T_world = T_new
         self.voxelmap = self.voxelmap.insert(cur, self.T_world)
@@ -303,7 +312,10 @@ class VGICPScanToScanOdometry(_OdometryBase):
             self._prev_map = cur_map
             return self.T_world
         result = self.reg.align(self._prev_map, cur, None, None)
-        self.T_world = self.T_world @ result.T_target_source
+        from small_gicp_tpu.utils.lie import orthonormalize
+
+        # re-project: the running f32 rotation product drifts off SO(3)
+        self.T_world = orthonormalize(self.T_world @ result.T_target_source)
         self._prev_map = cur_map
         return self.T_world
 
@@ -357,7 +369,10 @@ class ProjectiveScanToScanOdometry(ScanToScanOdometry):
             return self.T_world
         tree = ProjectiveSearch.build(self._prev)
         result = self.reg.align(self._prev, cur, tree, None)
-        self.T_world = self.T_world @ result.T_target_source
+        from small_gicp_tpu.utils.lie import orthonormalize
+
+        # re-project: the running f32 rotation product drifts off SO(3)
+        self.T_world = orthonormalize(self.T_world @ result.T_target_source)
         self._prev = cur
         return self.T_world
 

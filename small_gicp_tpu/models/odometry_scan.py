@@ -235,7 +235,12 @@ def odometry_scan_step_s2s(
     T_rel = jnp.where(
         is_first | ~real, jnp.eye(4, dtype=dtype), result.T_target_source
     )
-    T_new = T_world @ T_rel
+    from small_gicp_tpu.utils.lie import orthonormalize
+
+    # The running product T_world·T_rel accumulates f32 off-manifold
+    # drift even faster than the scan-to-model path (a fresh rotation
+    # multiplies in every frame); re-project each step.
+    T_new = orthonormalize(T_world @ T_rel)
     delta_new = jnp.where(is_first | ~real, T_delta, T_rel)
     # Empty (padded-tail) frames are no-ops: keep the previous cloud so a
     # later real frame still has a target.

@@ -286,10 +286,20 @@ def knn_moments_pallas(
     order. Membership matches brute-force kNN (ties may resolve to a
     different but exactly-equidistant member — see module docstring).
 
-    f32 TPU path; the sorted cloud must fit VMEM as [8, MP] (M ≤ ~1M).
+    f32 TPU path; the sorted cloud stays VMEM-resident as a dense
+    [8, MP] block (MP·32 B) which together with the per-visit [ts, BQ]
+    distance temporaries and top-k scratch must fit the ~16 MB scoped
+    VMEM budget — practical ceiling ≈ 256k rows, enforced below.
     """
     if k > 64:
         raise ValueError(f"knn_moments_pallas supports k<=64, got {k}")
+    if points.shape[0] > 262_144:
+        raise ValueError(
+            "knn_moments_pallas keeps the whole sorted cloud VMEM-"
+            f"resident; N={points.shape[0]} exceeds the ~256k-row "
+            "scoped-VMEM envelope (use the dense knn path for larger "
+            "clouds)"
+        )
     from small_gicp_tpu.ops.knn_window import morton_codes32
 
     n = points.shape[0]

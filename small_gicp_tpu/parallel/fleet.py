@@ -372,7 +372,11 @@ def align_fleet_sharded(
     kwargs forward to the single-device fleet (max_iterations, eps, ...).
     """
     from jax.sharding import PartitionSpec as P_
-    from jax import shard_map
+
+    try:  # moved to jax.shard_map in newer JAX
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older JAX spelling
+        from jax.experimental.shard_map import shard_map
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -414,14 +418,20 @@ def align_fleet_sharded(
 
     rep = P_()  # replicated pair tables
     shd = P_(axis_name)  # problem axis sharded
-    fn = shard_map(
-        device_fleet,
-        mesh=mesh,
-        in_specs=(rep, rep, rep, rep, shd, shd),
-        out_specs=RegistrationResult(
-            T_target_source=shd, converged=shd, iterations=shd,
-            num_inliers=shd, H=shd, b=shd, error=shd,
-        ),
-        check_vma=False,
+    out_specs = RegistrationResult(
+        T_target_source=shd, converged=shd, iterations=shd,
+        num_inliers=shd, H=shd, b=shd, error=shd,
     )
+    try:
+        fn = shard_map(
+            device_fleet, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, shd, shd), out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older JAX spelling
+        fn = shard_map(
+            device_fleet, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, shd, shd), out_specs=out_specs,
+            check_rep=False,
+        )
     return fn(ttabs, tbs, qtabs, qbbs, pair_ids, init_Ts)

@@ -141,16 +141,31 @@ def save_odometry_state(path: str, odom) -> None:
 
 def load_odometry_state(path: str, odom) -> None:
     """Restore state saved by save_odometry_state into a freshly
-    constructed engine of the same type and parameters."""
+    constructed engine of the same type and parameters.
+
+    Backward compatible with checkpoints written before the optional
+    T_delta / first-frame leaves existed: the template only includes an
+    optional leaf when the CHECKPOINT carries it (by saved key-path
+    name for v2; v1 checkpoints never have them), so old files keep
+    loading and simply fall back to the inferred first-frame flag."""
+    data = np.load(path)
+    saved_names = (
+        {str(s) for s in data["__keypaths__"]}
+        if "__keypaths__" in data.files else None  # v1: no optional leaves
+    )
+
+    def saved_has(name):
+        return saved_names is not None and name in saved_names
+
     template = {
         "T_world": odom.T_world,
         "traj": np.zeros((0, 4, 4)),
     }
-    if hasattr(odom, "T_delta"):
+    if hasattr(odom, "T_delta") and saved_has("T_delta"):
         template["T_delta"] = odom.T_delta
     if hasattr(odom, "voxelmap"):
         template["voxelmap"] = odom.voxelmap
-    if hasattr(odom, "_first"):
+    if hasattr(odom, "_first") and saved_has("first"):
         template["first"] = np.asarray(odom._first)
     if getattr(odom, "_prev", None) is not None:
         template["prev"] = odom._prev
@@ -162,7 +177,6 @@ def load_odometry_state(path: str, odom) -> None:
     # fixed-shape and must match, or a wrong-capacity checkpoint
     # surfaces later as an opaque XLA shape error instead of a clean
     # ValueError here. Validate per-leaf, exempting only `traj`.
-    data = np.load(path)
     names, _, treedef = _flatten_named(template)
     path_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
     saved = [data[f"leaf_{i}"] for i in range(len(

@@ -209,3 +209,40 @@ def test_resume_estimate_frame_driven(tmp_path):
         a = odo.estimate_frame(f)
         b = odo_b.estimate_frame(f)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_v1_checkpoint_without_optional_leaves(tmp_path):
+    """Checkpoints written before the T_delta / first-frame leaves
+    existed (v1 layout: leaf_i + __treedef__ only) must still load —
+    the loader only includes optional template leaves the checkpoint
+    actually carries."""
+    import jax
+
+    frames = _frames(4)
+    odo = create_odometry("small_gicp_model", PARAMS)
+    odo.estimate(frames[:2])
+
+    # Emulate the v1 writer: T_world / traj / voxelmap only, no
+    # keypaths, no schema version.
+    state = {
+        "T_world": odo.T_world,
+        "traj": np.stack(odo.traj),
+        "voxelmap": odo.voxelmap,
+    }
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8
+    )
+    path = str(tmp_path / "v1.npz")
+    np.savez(path, **arrays)
+
+    odo_b = create_odometry("small_gicp_model", PARAMS)
+    load_odometry_state(path, odo_b)
+    assert odo_b._first is False  # inferred from non-empty traj
+    np.testing.assert_allclose(
+        np.asarray(odo_b.T_world), np.asarray(odo.T_world), atol=1e-7
+    )
+    # and it keeps tracking
+    p = odo_b.estimate(frames[2:])
+    assert np.isfinite(p[-1]).all()
