@@ -60,20 +60,22 @@ def odometry_scan_step(
     reference, off by default).
 
     covariance_mode: "knn" (default) reproduces the reference's kNN
-    covariances; "voxel" uses fused 27-voxel neighborhood moments
-    (ops/voxel_covs.py) — fewer FLOPs but gather-bound on current TPUs,
-    so "knn" is faster there; "knn_window" uses the multi-shift
-    Morton-banded approximate self-kNN (ops/knn_window.py) — O(N·S·W)
-    instead of the O(N²) exact search, ≥97% neighbor recall with
-    covariances tested indistinguishable (tests/test_knn_window.py).
+    covariances; "knn_fused" keeps the same exact-kNN semantics through
+    the single fused moments kernel (ops/cov_fused_pallas.py — no
+    [N,k] neighbor gather); "voxel" uses fused 27-voxel neighborhood
+    moments (ops/voxel_covs.py) — fewer FLOPs but gather-bound on
+    current TPUs, so "knn" is faster there; "knn_window" uses the
+    multi-shift Morton-banded approximate self-kNN (ops/knn_window.py)
+    — O(N·S·W) instead of the O(N²) exact search, ≥97% neighbor recall
+    with covariances tested indistinguishable (tests/test_knn_window.py).
     """
     T_world, T_delta, vm, is_first = carry
     dtype = frame_points.dtype
 
-    if covariance_mode not in ("knn", "knn_window", "voxel"):
+    if covariance_mode not in ("knn", "knn_fused", "knn_window", "voxel"):
         raise ValueError(
             f"unknown covariance_mode {covariance_mode!r}; "
-            "have 'knn', 'knn_window', 'voxel'"
+            "have 'knn', 'knn_fused', 'knn_window', 'voxel'"
         )
     if model_rtype == "plane_icp":
         # Point-to-plane scan-to-model: the map stores NORMALS, not
@@ -89,7 +91,9 @@ def odometry_scan_step(
         normals, _ = _estimate_impl(
             pts, n, num_neighbors, True, False,
             neighbor_mode=(
-                "window" if covariance_mode == "knn_window" else "exact"
+                "window" if covariance_mode == "knn_window"
+                else "fused" if covariance_mode == "knn_fused"
+                else "exact"
             ),
             window_cell=downsampling_resolution,
         )
@@ -112,7 +116,9 @@ def odometry_scan_step(
         _, covs = _estimate_impl(
             pts, n, num_neighbors, False, True,
             neighbor_mode=(
-                "window" if covariance_mode == "knn_window" else "exact"
+                "window" if covariance_mode == "knn_window"
+                else "fused" if covariance_mode == "knn_fused"
+                else "exact"
             ),
             # the multi-shift union carries the recall; the downsampled
             # point spacing is the natural quantization cell

@@ -192,3 +192,19 @@ def test_plane_icp_model_engine_tracks(engine):
     poses = JitOdometry(PARAMS, engine=engine).feed(frames)
     assert abs(poses[-1, 0, 3] - 0.6) < 0.05, f"{engine}: {poses[-1, 0, 3]}"
     assert np.linalg.norm(poses[-1, :3, :3] - np.eye(3)) < 0.02
+
+
+def test_covariance_mode_knn_fused_matches_knn():
+    """covariance_mode='knn_fused' (the fused moments kernel) must
+    produce the same trajectory as the exact 'knn' mode (same exact-kNN
+    semantics; interpreter kernels on CPU)."""
+    frames = _frames(5)
+    p = OdometryParams(
+        num_neighbors=10, downsampling_resolution=0.3,
+        max_scan_points=2048, max_downsampled=2048, map_capacity=4096,
+    )
+    a = JitOdometry(p, engine="gicp_model", chunk_frames=5,
+                    covariance_mode="knn").feed(frames)
+    b = JitOdometry(p, engine="gicp_model", chunk_frames=5,
+                    covariance_mode="knn_fused").feed(frames)
+    np.testing.assert_allclose(a, b, atol=1e-4)
