@@ -275,7 +275,7 @@ def knn_moments_pallas(
     points: jax.Array,  # [N,4] padded homogeneous
     num_points: jax.Array,  # scalar int32
     k: int,
-    block_q: int = 512,
+    block_q: int = 256,  # chip sweep: 256 beats 512 (12.7 vs 16.0 ms @16k)
     ts: int = 1024,
     window: int = 0,  # 0 = auto
     interpret: bool = False,
