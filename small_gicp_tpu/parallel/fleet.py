@@ -288,7 +288,14 @@ def align_fleet(
         tables at zero copy cost.
       num_lanes: resident lanes B (the round's parallel width).
       prepared: optional result of fleet_prepare(targets, sources) to
-        reuse across calls.
+        reuse across calls. IMPORTANT for callers that wrap align_fleet
+        in their own jax.jit: pass prepared tables produced by a
+        SEPARATE call — fusing the preparation into the same XLA
+        program as the persistent-lane while loop costs ~3.4x wall time
+        (measured 287 vs 1252 reg/s on the bundled pair at P=256, B=32;
+        the prepare computation itself is ~27 ms — this is a scheduling
+        cliff, not compute). Called un-jitted, align_fleet already
+        stages preparation as its own program.
       interpret: force the Pallas interpreter (default: off on TPU, on
         elsewhere so CPU tests run the same code path).
 
