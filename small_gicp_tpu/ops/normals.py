@@ -53,16 +53,22 @@ def _estimate_impl(
     dtype = points.dtype
     xyz = points[:, :3]
 
+    if neighbor_mode == "exact" and (
+        dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and num_neighbors <= 64
+        and n <= 262_144
+    ):
+        # Same exact-kNN semantics, measured faster on chip (13.0 vs
+        # 13.7 ms at 16k/k=20, 2026-08-20): the transposed-layout
+        # moments kernel carries the winners' query-centered offsets,
+        # so the [N,k] neighbor gather is never paid.
+        neighbor_mode = "fused"
     if neighbor_mode == "fused":
-        # Same exact-kNN semantics, one fused kernel: the list-driven
-        # moments kernel scans only target tiles within each block's
-        # kth-distance bound and carries the winners' query-centered
-        # offsets, so neither the [Q,M] distance sweep nor the [N,k]
-        # neighbor gather is ever paid (ops/cov_fused_pallas.py).
-        # OPT-IN (not the exact default): on uniform-density clouds the
-        # bbox pruning keeps most tiles live and the payload-carrying
-        # extraction costs ~2x the dense kernel's (measured 22.5 vs
-        # 10.2 ms at 16k) — it only wins on locally-dense scans.
+        # One fused kernel for the whole self-kNN + moment stage: the
+        # list-driven kernel scans only target tiles within each
+        # block's Morton-window kth-distance bound and accumulates
+        # query-centered moments in-kernel (ops/cov_fused_pallas.py).
         if not (dtype == jnp.float32 and num_neighbors <= 64):
             raise ValueError(
                 "neighbor_mode='fused' needs f32 points and k<=64"
