@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--max-downsampled", type=int, default=16384)
     ap.add_argument("--map-capacity", type=int, default=262144)
     ap.add_argument("--chunk-frames", type=int, default=16)
+    ap.add_argument("--lru-horizon", type=int, default=100,
+                    help="map LRU horizon in frames (reference set_lru "
+                         "default 100); set >= frames to retain the whole "
+                         "map (implicit loop closure on revisits)")
     ap.add_argument("--cov-mode", default="knn",
                     choices=("knn", "knn_window", "voxel"),
                     help="per-frame covariance estimator for model engines "
@@ -104,6 +108,7 @@ def main(argv=None):
             downsampling_resolution=args.downsample,
             predict_motion=args.predict_motion,
             num_offsets=args.offsets,
+            lru_horizon=args.lru_horizon,
         )
         # vgicp map capacity counts voxels, not points
         if engine.startswith("vgicp_model"):

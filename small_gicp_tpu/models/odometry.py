@@ -73,6 +73,17 @@ class OdometryParams:
     # the full rejector-radius basin (measured on the synthetic loop:
     # max error 2.77 m -> 0.04 m over 64 frames).
     num_offsets: int = 1
+    # LRU map bounds (reference set_lru, incremental_voxelmap.hpp:74-86;
+    # defaults match its horizon=100 / clear_cycle=10). The horizon
+    # decides the map's MEMORY: with the reference default, regions
+    # older than 100 frames evict and a loop revisit is pure odometry
+    # (~0.2% drift on the synthetic 720 m loop, like the reference's
+    # 0.16% on KITTI); with a horizon longer than the trajectory (and
+    # capacity to match) the retained map acts as an implicit loop
+    # closure on revisits (APE 0.025 m on the same loop) — measured in
+    # BENCHMARK.md "Trajectory-scale accuracy".
+    lru_horizon: int = 100
+    lru_clear_cycle: int = 10
 
 
 class _OdometryBase:
@@ -171,6 +182,8 @@ class ScanToModelOdometry(_OdometryBase):
             has_covs=True,
             cell_capacity=10,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
         self.T_world = jnp.eye(4, dtype=p.dtype)
@@ -226,6 +239,8 @@ class PlaneICPModelOdometry(ScanToModelOdometry):
             has_normals=True,
             cell_capacity=10,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
 
@@ -250,6 +265,8 @@ class VGICPModelOdometry(_OdometryBase):
         self.voxelmap = GaussianVoxelMap.empty(
             p.voxel_resolution, capacity=p.map_capacity, dtype=p.dtype,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
         )
         self.T_world = jnp.eye(4, dtype=p.dtype)
         self.T_delta = jnp.eye(4, dtype=p.dtype)

@@ -387,6 +387,8 @@ def make_initial_carry(params: OdometryParams, engine: str):
             dtype=dtype,
             has_covs=True,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
     elif engine in ("plane_icp_model", "plane_icp_model_fused"):
@@ -399,6 +401,8 @@ def make_initial_carry(params: OdometryParams, engine: str):
             dtype=dtype,
             has_normals=True,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
             voxel_capacity=p.map_voxel_capacity or p.map_capacity // 4,
         )
     elif engine in ("vgicp_model", "vgicp_model_fused"):
@@ -408,6 +412,8 @@ def make_initial_carry(params: OdometryParams, engine: str):
         vm = GaussianVoxelMap.empty(
             p.voxel_resolution, capacity=p.map_capacity, dtype=dtype,
             num_offsets=p.num_offsets,
+            lru_horizon=p.lru_horizon,
+            lru_clear_cycle=p.lru_clear_cycle,
         )
     elif engine in ("gicp_scan", "plane_icp_scan", "icp_scan"):
         # Scan-to-scan: the "map" is the previous frame, carried as a

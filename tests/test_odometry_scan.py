@@ -208,3 +208,27 @@ def test_covariance_mode_knn_fused_matches_knn():
     b = JitOdometry(p, engine="gicp_model", chunk_frames=5,
                     covariance_mode="knn_fused").feed(frames)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_lru_horizon_param_plumbs_to_map():
+    """OdometryParams.lru_horizon/lru_clear_cycle reach the model map:
+    a tiny horizon evicts old regions, a trajectory-length horizon
+    retains them (the implicit-loop-closure configuration)."""
+    frames = _frames(8)
+    p_keep = OdometryParams(
+        num_neighbors=10, downsampling_resolution=0.3,
+        max_scan_points=2048, max_downsampled=2048, map_capacity=16384,
+        lru_horizon=1000,
+    )
+    p_evict = OdometryParams(
+        num_neighbors=10, downsampling_resolution=0.3,
+        max_scan_points=2048, max_downsampled=2048, map_capacity=16384,
+        lru_horizon=2, lru_clear_cycle=2,
+    )
+    keep = JitOdometry(p_keep, engine="gicp_model", chunk_frames=8)
+    evict = JitOdometry(p_evict, engine="gicp_model", chunk_frames=8)
+    keep.feed(frames)
+    evict.feed(frames)
+    nk = int(keep.carry[2].num_points_stored)
+    ne = int(evict.carry[2].num_points_stored)
+    assert nk > ne, (nk, ne)  # retention holds more of the drifting world
