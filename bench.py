@@ -389,7 +389,11 @@ def main():
     # an XLA scheduling cliff, not compute; see parallel/fleet.py).
     from small_gicp_tpu.parallel.fleet import align_fleet, fleet_prepare
 
-    P = n_iters
+    # P=512 amortizes the queue drain tail better than 256 (measured
+    # 1316 vs 1218 reg/s at B=32; lane count is flat 16..64 — the
+    # kernel is VPU-saturated either way).
+    P = 2 * n_iters
+    fposes = jnp.stack([noise() for _ in range(P)])
     fleet_prepared = jax.block_until_ready(fleet_prepare(target, source))
 
     @jax.jit
@@ -399,9 +403,9 @@ def main():
         return jnp.sum(r.T_target_source, axis=0), r.iterations
 
     dog.phase("fleet mode (compile + runs)", budget(900, n_reps * 2 + 2))
-    jax.device_get(run_fleet(poses, *fleet_prepared))
+    jax.device_get(run_fleet(fposes, *fleet_prepared))
     fleet_reg_per_sec = P / timed_reps(
-        lambda: jax.device_get(run_fleet(poses, *fleet_prepared)[0]),
+        lambda: jax.device_get(run_fleet(fposes, *fleet_prepared)[0]),
         n_reps, label="fleet"
     )
 
