@@ -68,8 +68,10 @@ int main(int argc, char** argv) {
   // voxels; 7 restores it (the TPU engines' benchmark setting), so both
   // are measured for a like-for-like table.
   const int offsets = argc > 5 ? std::atoi(argv[5]) : 1;
+  // 2.0 = the reference's own odometry_benchmark CLI default
+  // (odometry_benchmark.cpp:16); the TPU file-driven app copies it.
+  const double voxel_resolution = argc > 6 ? std::atof(argv[6]) : 2.0;
   const int num_neighbors = 20;     // OdometryEstimationParams defaults
-  const double voxel_resolution = 1.0;
 
   std::vector<std::string> files;
   for (const auto& e : fs::directory_iterator(dir)) {

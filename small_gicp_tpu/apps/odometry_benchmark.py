@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="only process the first N scans")
     p.add_argument("--max_scan_points", type=int, default=131072)
     p.add_argument("--max_downsampled", type=int, default=32768)
+    p.add_argument("--map_voxel_capacity", type=int, default=None,
+                   help="voxel slots of the incremental map (default "
+                        "map_capacity // 4)")
     p.add_argument("--map_capacity", type=int, default=131072,
                    help="model-map point capacity (model engines)")
     p.add_argument("--num_offsets", type=int, default=1, choices=(1, 7, 27),
@@ -111,6 +114,7 @@ def main(argv=None) -> int:
         max_scan_points=args.max_scan_points,
         max_downsampled=args.max_downsampled,
         map_capacity=args.map_capacity,
+        map_voxel_capacity=args.map_voxel_capacity,
         num_offsets=args.num_offsets,
         predict_motion=args.predict_motion,
     )
