@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="only process the first N scans")
     p.add_argument("--max_scan_points", type=int, default=131072)
     p.add_argument("--max_downsampled", type=int, default=32768)
+    p.add_argument("--max_frame_motion", type=float, default=None,
+                   help="motion sanity clamp in meters (off by default): "
+                        "reject alignments deviating more than this from "
+                        "the constant-velocity prediction and coast on "
+                        "the prediction instead")
     p.add_argument("--map_voxel_capacity", type=int, default=None,
                    help="voxel slots of the incremental map (default "
                         "map_capacity // 4)")
@@ -115,6 +120,7 @@ def main(argv=None) -> int:
         max_downsampled=args.max_downsampled,
         map_capacity=args.map_capacity,
         map_voxel_capacity=args.map_voxel_capacity,
+        max_frame_motion=args.max_frame_motion,
         num_offsets=args.num_offsets,
         predict_motion=args.predict_motion,
     )

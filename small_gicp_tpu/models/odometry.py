@@ -84,6 +84,14 @@ class OdometryParams:
     # BENCHMARK.md "Trajectory-scale accuracy".
     lru_horizon: int = 100
     lru_clear_cycle: int = 10
+    # ⊕ Motion sanity clamp (off by default — not in the reference): if
+    # the aligned pose deviates more than this many meters from the
+    # constant-velocity prediction, the alignment is rejected and the
+    # engine coasts on the prediction. Catches both overshoot and
+    # undershoot (the observed failure was an undershoot — ground
+    # sliding; BENCHMARK.md frame-334). Set to ~0.5x the expected
+    # per-frame motion; inactive until a motion estimate exists.
+    max_frame_motion: Optional[float] = None
 
 
 class _OdometryBase:

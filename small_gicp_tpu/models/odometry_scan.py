@@ -36,7 +36,7 @@ from small_gicp_tpu.models.odometry import OdometryParams
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "model_nn", "model_rtype",
+        "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
     ),
 )
 def odometry_scan_step(
@@ -51,6 +51,7 @@ def odometry_scan_step(
     predict_motion: bool = False,
     model_nn: str = "voxel",
     model_rtype: str = "gicp",
+    max_frame_motion: float = 0.0,
 ):
     """One odometry step; carry = (T_world [4,4], T_delta [4,4],
     voxelmap, is_first). T_delta is the last frame-to-frame motion; with
@@ -167,11 +168,28 @@ def odometry_scan_step(
     real = frame_count > 0
     from small_gicp_tpu.utils.lie import orthonormalize
 
+    aligned = result.T_target_source
+    if max_frame_motion > 0.0:
+        # ⊕ Motion sanity clamp (OdometryParams.max_frame_motion): a
+        # single wrong-minimum alignment otherwise throws the whole
+        # downstream trajectory (BENCHMARK.md frame-334 — an UNDERSHOOT:
+        # est motion 0.49 m vs 1.2 m real, classic ground sliding, so a
+        # seed-relative max test cannot catch it). The test is deviation
+        # from the constant-velocity PREDICTION T_world·T_delta; on
+        # violation the engine COASTS on the prediction — both
+        # overshoots and undershoots reject, and the map still advances
+        # at the predicted pose. Inactive until a motion estimate
+        # exists (|T_delta| ≈ 0: first frames / stationary starts).
+        pred = T_world @ T_delta
+        dev = jnp.linalg.norm(aligned[:3, 3] - pred[:3, 3])
+        have_motion = jnp.linalg.norm(T_delta[:3, 3]) > 1e-6
+        reject = have_motion & (dev > jnp.asarray(max_frame_motion, dtype))
+        aligned = jnp.where(reject, pred, aligned)
     # Re-project the estimated rotation onto SO(3) each frame: f32 pose
     # composition (guess = previous pose, hundreds of frames) otherwise
     # drifts off-manifold — drift the f64 reference never accumulates.
     T_new = jnp.where(
-        is_first | ~real, T_world, orthonormalize(result.T_target_source)
+        is_first | ~real, T_world, orthonormalize(aligned)
     )
     delta_new = jnp.where(
         is_first | ~real, T_delta, rigid_inverse(T_world) @ T_new
@@ -297,7 +315,7 @@ def odometry_scan_s2s(
     jax.jit,
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
-        "predict_motion", "model_nn", "model_rtype",
+        "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
     ),
 )
 def odometry_scan(
@@ -312,6 +330,7 @@ def odometry_scan(
     predict_motion: bool = False,
     model_nn: str = "voxel",
     model_rtype: str = "gicp",
+    max_frame_motion: float = 0.0,
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -332,6 +351,7 @@ def odometry_scan(
             predict_motion=predict_motion,
             model_nn=model_nn,
             model_rtype=model_rtype,
+            max_frame_motion=max_frame_motion,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -497,6 +517,7 @@ class JitOdometry:
             predict_motion=p.predict_motion,
             model_nn=_model_nn_for(self.engine),
             model_rtype=_model_rtype_for(self.engine),
+            max_frame_motion=float(p.max_frame_motion or 0.0),
         )
         return poses
 

@@ -232,3 +232,46 @@ def test_lru_horizon_param_plumbs_to_map():
     nk = int(keep.carry[2].num_points_stored)
     ne = int(evict.carry[2].num_points_stored)
     assert nk > ne, (nk, ne)  # retention holds more of the drifting world
+
+
+def test_max_frame_motion_clamp():
+    """The opt-in motion sanity clamp rejects alignments that deviate
+    from the constant-velocity prediction and coasts on the prediction
+    — a direct step-level check: with an established 0.15 m/frame
+    motion estimate, a frame whose true alignment is a 0.45 m jump is
+    rejected at band 0.2 (pose = prediction) and accepted at band 1.0
+    (pose tracks the jump)."""
+    import jax.numpy as jnp
+    from small_gicp_tpu.models.odometry_scan import (
+        make_initial_carry, odometry_scan_step, stack_frames,
+    )
+
+    frames = _frames(3)
+    p = OdometryParams(
+        num_neighbors=10, downsampling_resolution=0.3,
+        max_scan_points=2048, max_downsampled=2048, map_capacity=16384,
+    )
+
+    def step(carry, f, band):
+        pts, cnt = stack_frames([f], 1, p.max_scan_points, p.dtype)
+        return odometry_scan_step(
+            carry, jnp.asarray(pts[0]), jnp.asarray(cnt[0]),
+            downsampling_resolution=p.downsampling_resolution,
+            max_downsampled=p.max_downsampled, num_neighbors=10,
+            max_frame_motion=band,
+        )
+
+    def run(band):
+        carry, _ = make_initial_carry(p, "gicp_model")
+        for f in frames:  # establishes T_delta = 0.15 m/frame
+            carry, pose = step(carry, f, band)
+        # next frame jumps 0.45 m instead of 0.15 (world shifts 3x)
+        jumped = frames[-1] - np.asarray([0.45, 0, 0], np.float32)
+        carry, pose = step(carry, jumped, band)
+        return float(np.asarray(pose)[0, 3])
+
+    x_loose = run(1.0)   # accepted: tracks the 0.45 jump
+    x_tight = run(0.2)   # rejected: coasts at prediction (+0.15)
+    base = 0.15 * 2      # world pose after the 3 establishing frames
+    assert abs(x_loose - (base + 0.45)) < 0.05, x_loose
+    assert abs(x_tight - (base + 0.15)) < 0.05, x_tight
