@@ -21,7 +21,8 @@ import sys
 
 JIT_ENGINES = (
     "gicp_model", "gicp_model_fused", "vgicp_model", "vgicp_model_fused",
-    "plane_icp_model", "gicp_scan", "plane_icp_scan", "icp_scan",
+    "plane_icp_model", "plane_icp_model_fused",
+    "gicp_scan", "plane_icp_scan", "icp_scan",
 )
 
 
