@@ -139,26 +139,28 @@ def main():
     raw_elapsed: dict = {}  # mode label -> uncorrected wall times
 
     def timed_reps(fn, n_reps=3, label="unlabeled"):
-        """min over reps of (elapsed - per-rep sync latency when the
-        tunnel is degraded). fn() must end in one device_get.
+        """Returns (best_raw, best_corrected) over reps. fn() must end
+        in one device_get.
 
-        The correction is clamped: it uses the MEDIAN of three sync
-        samples (a single overshooting sample can't be favored) and never
-        subtracts more than 90% of the measured elapsed time, so a
-        degraded-tunnel run can report at most 10x the honest number —
-        and the uncorrected elapsed times are emitted alongside the
-        headline so the raw data is always visible."""
-        best = float("inf")
+        best_raw is the min UNcorrected wall time — the HEADLINE always
+        uses it, so published throughput never depends on a subtraction.
+        best_corrected additionally subtracts the per-rep tunnel sync
+        latency when the tunnel is degraded (median of three samples,
+        clamped to ≤90% of elapsed) and is emitted as a supplemental
+        field only."""
+        best_raw = float("inf")
+        best_corr = float("inf")
         for _ in range(n_reps):
             t0 = time.perf_counter()
             fn()
             elapsed = time.perf_counter() - t0
             raw_elapsed.setdefault(label, []).append(round(elapsed, 4))
+            best_raw = min(best_raw, elapsed)
             if degraded:
                 syncs = sorted(sync_latency() for _ in range(3))
                 elapsed = elapsed - min(syncs[1], 0.9 * elapsed)
-            best = min(best, elapsed)
-        return best
+            best_corr = min(best_corr, elapsed)
+        return best_raw, best_corr
 
     def budget(base, n_syncs):
         return base + lam * n_syncs * 2.5  # 2.5x headroom on observed latency
@@ -344,9 +346,11 @@ def main():
     poses = jnp.stack([noise() for _ in range(n_iters)])
     jax.device_get(run_many(poses))  # warmup / compile
 
-    scan_reg_per_sec = n_iters / timed_reps(
+    scan_t_raw, scan_t_corr = timed_reps(
         lambda: jax.device_get(run_many(poses)[0]), n_reps, label="scan"
     )
+    scan_reg_per_sec = n_iters / scan_t_raw
+    scan_corr = n_iters / scan_t_corr
 
     # Batched (throughput) mode: vmapped lanes with distinct noise poses.
     from small_gicp_tpu.parallel.sharding import _batched_align_fn
@@ -374,9 +378,11 @@ def main():
         [jnp.stack([noise() for _ in range(B)]) for _ in range(BREPS)]
     )
     jax.device_get(run_batched(bposes))
-    batch_reg_per_sec = B * BREPS / timed_reps(
+    batch_t_raw, batch_t_corr = timed_reps(
         lambda: jax.device_get(run_batched(bposes)[0]), n_reps, label="batch"
     )
+    batch_reg_per_sec = B * BREPS / batch_t_raw
+    batch_corr = B * BREPS / batch_t_corr
 
     # Fleet (persistent-lane) mode: P problems streamed through B
     # resident lanes — no lockstep (a converged lane refills from the
@@ -404,10 +410,12 @@ def main():
 
     dog.phase("fleet mode (compile + runs)", budget(900, n_reps * 2 + 2))
     jax.device_get(run_fleet(fposes, *fleet_prepared))
-    fleet_reg_per_sec = P / timed_reps(
+    fleet_t_raw, fleet_t_corr = timed_reps(
         lambda: jax.device_get(run_fleet(fposes, *fleet_prepared)[0]),
         n_reps, label="fleet"
     )
+    fleet_reg_per_sec = P / fleet_t_raw
+    fleet_corr = P / fleet_t_corr
 
     dog.cancel()
     reg_per_sec = max(scan_reg_per_sec, batch_reg_per_sec, fleet_reg_per_sec)
@@ -427,11 +435,18 @@ def main():
                     {
                         "tunnel_sync_latency_s": round(lam, 2),
                         "uncorrected_elapsed_s": raw_elapsed,
+                        "sync_corrected_reg_per_sec": {
+                            "scan": round(scan_corr, 3),
+                            "batch": round(batch_corr, 3),
+                            "fleet": round(fleet_corr, 3),
+                        },
                         "timing_note": (
-                            "tunnel degraded: per-rep device sync latency "
+                            "tunnel degraded: the HEADLINE value is the "
+                            "UNcorrected wall-time number; "
+                            "sync_corrected_reg_per_sec additionally "
+                            "subtracts per-rep device sync latency "
                             "(median of 3 samples, clamped to ≤90% of "
-                            "elapsed) subtracted; uncorrected_elapsed_s "
-                            "carries the raw wall times"
+                            "elapsed) as a supplemental estimate"
                         ),
                     }
                     if degraded

@@ -91,6 +91,10 @@ class OdometryParams:
     # undershoot (the observed failure was an undershoot — ground
     # sliding; BENCHMARK.md frame-334). Set to ~0.5x the expected
     # per-frame motion; inactive until a motion estimate exists.
+    # Enforced by the jitted odometry_scan engines AND the eager
+    # model engines (ScanToModelOdometry / PlaneICPModelOdometry /
+    # VGICPModelOdometry); engines without a motion model (scan-to-scan,
+    # flow) warn at construction if it is set.
     max_frame_motion: Optional[float] = None
 
 
@@ -98,10 +102,44 @@ class _OdometryBase:
     """Shared frame feeding / timing (OnlineOdometryEstimation,
     benchmark_odom.hpp:44-80)."""
 
+    # Engines maintaining a constant-velocity motion model (T_delta)
+    # override this; OdometryParams.max_frame_motion is only enforceable
+    # on them.
+    _supports_motion_clamp = False
+
     def __init__(self, params: Optional[OdometryParams] = None):
         self.params = params or OdometryParams()
         self.reg_times = Summarizer()
         self.traj: List[np.ndarray] = []
+        if (
+            self.params.max_frame_motion is not None
+            and not self._supports_motion_clamp
+        ):
+            import warnings
+
+            warnings.warn(
+                f"{type(self).__name__} has no constant-velocity motion "
+                "model; max_frame_motion is ignored by this engine "
+                "(supported by the scan-to-model engines and the jitted "
+                "odometry_scan path)",
+                stacklevel=3,
+            )
+
+    def _motion_clamp(self, aligned: jax.Array) -> jax.Array:
+        """⊕ Motion sanity clamp, identical semantics to the jitted path
+        (odometry_scan.py): reject an alignment whose translation
+        deviates more than max_frame_motion from the constant-velocity
+        prediction T_world·T_delta and coast on the prediction instead.
+        Inactive until a motion estimate exists. No-op unless the engine
+        maintains T_world/T_delta and the param is set."""
+        mfm = self.params.max_frame_motion
+        if mfm is None:
+            return aligned
+        pred = self.T_world @ self.T_delta
+        dev = jnp.linalg.norm(aligned[:3, 3] - pred[:3, 3])
+        have_motion = jnp.linalg.norm(self.T_delta[:3, 3]) > 1e-6
+        reject = have_motion & (dev > jnp.asarray(mfm, aligned.dtype))
+        return jnp.where(reject, pred, aligned)
 
     def _prep_frame(self, points_xyz: np.ndarray) -> PointCloud:
         p = self.params
@@ -176,6 +214,8 @@ class ScanToModelOdometry(_OdometryBase):
     target AND search structure; registration solves the absolute pose,
     then the frame is inserted into the map at that pose."""
 
+    _supports_motion_clamp = True
+
     def __init__(self, params: Optional[OdometryParams] = None):
         super().__init__(params)
         p = self.params
@@ -216,7 +256,7 @@ class ScanToModelOdometry(_OdometryBase):
         guess = (self.T_world @ self.T_delta if self.params.predict_motion
                  else self.T_world)
         result = self.reg.align(self.voxelmap, cur, None, guess)
-        T_new = result.T_target_source
+        T_new = self._motion_clamp(result.T_target_source)
         from small_gicp_tpu.utils.lie import orthonormalize
 
         T_new = orthonormalize(T_new)  # keep the f32 rotation on SO(3)
@@ -266,6 +306,8 @@ class VGICPModelOdometry(_OdometryBase):
     """VGICP scan-to-model odometry with a Gaussian voxel map
     (odometry_benchmark_small_vgicp_model_tbb.cpp:30-45)."""
 
+    _supports_motion_clamp = True
+
     def __init__(self, params: Optional[OdometryParams] = None):
         super().__init__(params)
         p = self.params
@@ -298,7 +340,7 @@ class VGICPModelOdometry(_OdometryBase):
         guess = (self.T_world @ self.T_delta if self.params.predict_motion
                  else self.T_world)
         result = self.reg.align(self.voxelmap, cur, None, guess)
-        T_new = result.T_target_source
+        T_new = self._motion_clamp(result.T_target_source)
         from small_gicp_tpu.utils.lie import orthonormalize
 
         T_new = orthonormalize(T_new)  # keep the f32 rotation on SO(3)

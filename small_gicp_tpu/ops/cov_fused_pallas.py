@@ -293,6 +293,11 @@ def knn_moments_pallas(
     """
     if k > 64:
         raise ValueError(f"knn_moments_pallas supports k<=64, got {k}")
+    if window and window < k:
+        # The bound pass takes the kth smallest of the window's
+        # distances; w < k would fail deep inside top_k with an obscure
+        # trace-time error.
+        raise ValueError(f"window must be >= k (got window={window}, k={k})")
     if points.shape[0] > 262_144:
         raise ValueError(
             "knn_moments_pallas keeps the whole sorted cloud VMEM-"

@@ -62,14 +62,44 @@ def save_pytree(path: str, tree: Any) -> None:
     np.savez(path, **arrays)
 
 
-def _check_keypaths(data, template_names) -> None:
+def _check_keypaths(data, template_names, template_treedef=None) -> None:
     """Raise with a name-level diff when the checkpoint's leaves don't
-    match the template's. v1 checkpoints (no __keypaths__) only get the
-    leaf-count check — shape/dtype validation still runs downstream."""
+    match the template's. v1 checkpoints (no __keypaths__) get the
+    leaf-count check plus a soft (warning-only) treedef-repr comparison
+    — shape/dtype validation still runs downstream."""
     version = (
         int(data["__schema_version__"])
         if "__schema_version__" in data.files else 1
     )
+    if version < 2:
+        # Best-effort v1 check: leaf count is verified downstream, but a
+        # v1 file with coincident leaf count/shapes and DIFFERENT
+        # structure would unflatten silently into the wrong fields. The
+        # old str(treedef) comparison survives as a soft warning (repr
+        # churn across jax/flax versions is why it can't hard-fail).
+        import warnings
+
+        if "__treedef__" in data.files and template_treedef is not None:
+            saved_repr = bytes(data["__treedef__"]).decode(errors="replace")
+            warnings.warn(
+                "v1 checkpoint: leaf names absent; structure verified "
+                "only by leaf count/shape/dtype"
+                + (
+                    " and the saved treedef repr DIFFERS from the "
+                    "template's (may be jax version churn — verify the "
+                    "engine config matches the one that saved this file)"
+                    if saved_repr != str(template_treedef)
+                    else ""
+                ),
+                stacklevel=3,
+            )
+        else:
+            warnings.warn(
+                "v1 checkpoint without treedef record: structure "
+                "verified only by leaf count/shape/dtype",
+                stacklevel=3,
+            )
+        return
     if version >= 2:
         saved_names = [str(s) for s in data["__keypaths__"]]
         if saved_names != list(template_names):
@@ -96,7 +126,7 @@ def load_pytree(path: str, template: Any) -> Any:
     """
     data = np.load(path)
     names, leaves, treedef = _flatten_named(template)
-    _check_keypaths(data, names)
+    _check_keypaths(data, names, treedef)
     n = len(leaves)
     if n != sum(1 for k in data.files if k.startswith("leaf_")):
         raise ValueError("checkpoint leaf count mismatch")

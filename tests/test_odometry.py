@@ -60,6 +60,44 @@ def test_engine_tracks_translation(engine):
     assert rot_dev < 0.02, f"{engine}: final rot deviation {rot_dev:.4f}"
 
 
+def test_eager_motion_clamp_matches_jitted_semantics():
+    """ScanToModelOdometry enforces max_frame_motion like the jitted
+    path: deviation from the constant-velocity prediction > threshold
+    rejects the alignment and coasts on the prediction (ADVICE r4:
+    previously the eager model engines silently ignored the param)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    odom = create_odometry(
+        "small_gicp_model",
+        dataclasses.replace(PARAMS, max_frame_motion=0.5),
+    )
+    odom.T_world = jnp.eye(4, dtype=jnp.float32)
+    T_delta = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.2)
+    odom.T_delta = T_delta
+    pred = odom.T_world @ T_delta
+
+    # Within threshold: alignment kept.
+    ok_pose = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.3)
+    np.testing.assert_allclose(odom._motion_clamp(ok_pose), ok_pose)
+    # Beyond threshold: coast on the prediction.
+    bad_pose = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(1.5)
+    np.testing.assert_allclose(odom._motion_clamp(bad_pose), pred)
+    # No motion estimate yet (T_delta ~ identity): clamp inactive.
+    odom.T_delta = jnp.eye(4, dtype=jnp.float32)
+    np.testing.assert_allclose(odom._motion_clamp(bad_pose), bad_pose)
+
+
+def test_non_model_engine_warns_on_max_frame_motion():
+    import dataclasses
+
+    with pytest.warns(UserWarning, match="max_frame_motion"):
+        create_odometry(
+            "small_gicp", dataclasses.replace(PARAMS, max_frame_motion=0.5)
+        )
+
+
 def test_write_trajectory(tmp_path):
     frames, gt = _make_frames(n_frames=3)
     odom = create_odometry("small_gicp", PARAMS)
