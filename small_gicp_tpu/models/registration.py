@@ -279,9 +279,14 @@ def align_impl(
 
     # Factor-specific payload availability for the fused kernel: the
     # three reference factors share one weighted-LS kernel
-    # (ops/gicp_fused_pallas._fused_finalize); robust kernels re-weight
-    # by per-point error and keep the XLA path (see docs/API.md
-    # "fused-path exclusions" for the measured cost of leaving it).
+    # (ops/gicp_fused_pallas._fused_finalize), and the Huber/Cauchy
+    # robust kernels fuse too — w(√e_i) is applied at the kernel's
+    # finalize and recomputed per trial pose in the trial-error kernel
+    # (RobustFactor semantics, robust_kernel.hpp:85,97). See
+    # docs/API.md "fused-path exclusions" for what still leaves the
+    # fast path and its cost.
+    from small_gicp_tpu.ops.gicp_fused_pallas import ROBUST_KERNELS
+
     _is_cloud = isinstance(target, PointCloud)
     _fused_factor_ok = _is_cloud and (
         (registration_type == GICP
@@ -292,7 +297,7 @@ def align_impl(
     fused_ok = (
         use_fused == "auto"
         and _fused_factor_ok
-        and robust_kernel is None
+        and (robust_kernel is None or robust_kernel in ROBUST_KERNELS)
         and isinstance(target_tree, (KdTree, type(None)))
         and dtype == jnp.float32
         and psum_axis is None
@@ -328,6 +333,7 @@ def align_impl(
             H, b, inliers, corr16 = gicp_linearize_tables(
                 f_ttab, f_tb, f_qtab, T, max_dist_sq, f_ttab_T,
                 factor=registration_type,
+                robust=robust_kernel, robust_c=robust_c,
             )
             return (
                 _dof(H.astype(dtype)),
@@ -396,7 +402,8 @@ def align_impl(
 
                 corr16, sorted_src = fused_buf
                 e = gicp_error_multi_pallas(
-                    corr16, sorted_src, s.T[None], source.num_points
+                    corr16, sorted_src, s.T[None], source.num_points,
+                    robust=robust_kernel, robust_c=robust_c,
                 )[0]
             e = e.astype(factors._error_accum_dtype(dtype))
             delta = solve6x6(H, -b, jnp.asarray(gn_lambda, dtype))
@@ -466,6 +473,7 @@ def align_impl(
                     sorted_src,
                     jnp.concatenate([s.T[None], Ts], axis=0),
                     source.num_points,
+                    robust=robust_kernel, robust_c=robust_c,
                 )
                 e0 = errs_all[0]
                 errs = errs_all[1:]

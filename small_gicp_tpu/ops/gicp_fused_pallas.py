@@ -32,10 +32,15 @@ This kernel does the whole linearization in ONE pallas_call:
     * the frozen Correspondences buffer [mu | W | mask | d2] is written
       for the LM trial error evaluations
 
-Restrictions: f32, GICP factor, no robust kernel (the robust variants
-re-weight by per-point error and keep the XLA path). Semantics match
-factors.make_weights + factors.linearize exactly; parity is pinned by
-tests/test_gicp_fused.py in interpreter mode and the on-chip lane.
+Restrictions: f32. All three point factors (gicp / plane_icp / icp) and
+the Huber/Cauchy robust kernels run fused: the robust weight w(√e_i) is
+a few extra VPU ops applied at finalize (e_i is already in registers)
+and recomputed per trial pose in the trial-error kernel — exactly the
+reference's RobustFactor semantics (robust_kernel.hpp:85,97 re-weights
+on every linearize AND every error evaluation). Semantics match
+factors.make_weights + factors.linearize + factors.robust_weight
+exactly; parity is pinned by tests/test_gicp_fused.py in interpreter
+mode and the on-chip lane.
 
 Reference semantics covered: gicp_factor.hpp:49-72 (NN of transformed
 source, mahalanobis, H/b/e), rejector.hpp:19-28, reduction.hpp:11-63.
@@ -64,12 +69,32 @@ _BM_CAP = 49152
 # (dense layout, no padding waste) — 96 MB at 1.5M rows.
 _LISTED_MP_CAP = 1_572_864
 
+# Robust kernels the fused path supports (factors/robust_kernel.hpp).
+ROBUST_KERNELS = ("huber", "cauchy")
+
+
+def _robust_w(robust: str, c, e):
+    """In-kernel robust weight w(√e), bit-matching factors.robust_weight
+    (robust_kernel.hpp:24-47): Huber min(1, c/√e), Cauchy c/(c+e) — the
+    kernel argument is x = √e, and Cauchy's c/(c+x²) folds back to e.
+    `e` is the per-point UNweighted error; negative fp noise clamps to 0
+    exactly like the XLA path's sqrt(max(e, 0))."""
+    e0 = jnp.maximum(e, 0.0)
+    if robust == "huber":
+        x = jnp.sqrt(e0)
+        safe = jnp.maximum(x, 1e-30)
+        return jnp.where(x < c, jnp.ones_like(x), c / safe)
+    if robust == "cauchy":
+        return c / (c + e0)
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
 
 def _fused_kernel(
     nt_ref, tb_ref, t_ref, q_ref, corr_ref, acc_ref, best_d, best_pay, qbb,
-    *, ts: int, factor: str = "gicp",
+    *, ts: int, factor: str = "gicp", robust: str = None,
 ):
-    """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq | pad]
+    """nt_ref: SMEM [1, 20] = [R row-major 9 | t 3 | max_dist_sq |
+    robust_c | pad]
     (2-D so the auto-batching rule's squeezed leading block dim keeps the
     last two block dims equal to the array dims — vmap adds a leading
     grid axis and this kernel batches as-is);
@@ -195,6 +220,7 @@ def _fused_kernel(
             best_d, best_pay, q_ref, corr_ref, acc_ref,
             (r00, r01, r02, r10, r11, r12, r20, r21, r22),
             (qx, qy, qz), (px, py, pz), max_d2, factor,
+            robust, nt_ref[0, 13],
         )
 
 
@@ -250,13 +276,19 @@ def morton_presort(
 
 def _fused_finalize(
     best_d, best_pay, q_ref, corr_ref, acc_ref, rmat9, qxyz, pxyz, max_d2,
-    factor: str = "gicp",
+    factor: str = "gicp", robust: str = None, robust_c=None,
 ):
     """Per-query-block linearization from the winning correspondences:
     per-point weight W, rejector mask, J = [R·skew(p) | −R], the
     [H|b|e|inliers] block reduction via one ones-vector MXU matmul, and
     the frozen-correspondence buffer write. Shared by the grid-swept
     (_fused_kernel) and list-driven (_fused_kernel_listed) variants.
+
+    `robust` applies the Huber/Cauchy re-weighting multiplicatively to
+    the per-point (H_i, b_i, e_i) — RobustFactor::linearize
+    (robust_kernel.hpp:80-91) with w = w(√e_i) from `robust_c`; the
+    inlier count stays UNweighted (RobustFactor::inlier defers to the
+    base factor, robust_kernel.hpp:101).
 
     `factor` selects W — the three reference factors share the weighted
     least-squares form H = JᵀWJ, b = JᵀWr, e = ½rᵀWr
@@ -351,6 +383,10 @@ def _fused_finalize(
     wr2 = w20 * rx + w21 * ry + w22 * rz
     e_i = 0.5 * (rx * wr0 + ry * wr1 + rz * wr2)
 
+    # Robust re-weighting (robust_kernel.hpp:85-88): e_i is live in
+    # registers — a handful of VPU ops scale the whole per-point system.
+    wm = mask if robust is None else mask * _robust_w(robust, robust_c, e_i)
+
     # J = [R·skew(p) | −R]  (factors.geometric_jacobian)
     j = [[None] * 6 for _ in range(3)]
     j[0][0] = r01 * pz - r02 * py
@@ -388,12 +424,12 @@ def _fused_finalize(
                 + j[1][a] * wj[1][b_]
                 + j[2][a] * wj[2][b_]
             )
-            rows.append(h_ab * mask)
+            rows.append(h_ab * wm)
     for a in range(6):
         b_a = j[0][a] * wr[0] + j[1][a] * wr[1] + j[2][a] * wr[2]
-        rows.append(b_a * mask)
-    rows.append(e_i * mask)
-    rows.append(mask)
+        rows.append(b_a * wm)
+    rows.append(e_i * wm)
+    rows.append(mask)  # inlier count stays unweighted (robust_kernel.hpp:101)
     rows += [jnp.zeros_like(px)] * (128 - len(rows))
     v = jnp.concatenate(rows, axis=0)  # [128, BQ]
     ones8 = jnp.ones((8, bq), jnp.float32)
@@ -419,7 +455,7 @@ def _fused_finalize(
 def _fused_kernel_listed(
     nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref, acc_ref,
     best_d, best_pay, *, ts: int, L: int, transposed: bool, qdim: int = 0,
-    factor: str = "gicp",
+    factor: str = "gicp", robust: str = None,
 ):
     """List-driven variant of _fused_kernel: the WHOLE (Morton-sorted)
     target is VMEM-resident, grid = (query_blocks,), and each block
@@ -527,6 +563,7 @@ def _fused_kernel_listed(
         best_d, best_pay, q_ref, corr_ref, acc_ref,
         (r00, r01, r02, r10, r11, r12, r20, r21, r22), (qx, qy, qz),
         (px, py, pz), max_d2, factor,
+        robust, nt_ref[li, 13],
     )
 
 
@@ -680,7 +717,8 @@ def gicp_prepare(
     return ttab, tb, qtab, sorted_src, sperm, ttab.T.copy()
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "interpret", "factor"))
+@partial(jax.jit, static_argnames=(
+    "block_q", "block_m", "interpret", "factor", "robust"))
 def gicp_linearize_tables(
     ttab: jax.Array,  # [MP,16] from gicp_prepare
     tb: jax.Array,  # [1, n_tt*8]
@@ -692,6 +730,8 @@ def gicp_linearize_tables(
     block_m: int = 1024,
     interpret: bool = False,
     factor: str = "gicp",
+    robust: str = None,
+    robust_c=1.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-iteration fused search+linearize over prepared tables.
 
@@ -714,7 +754,8 @@ def gicp_linearize_tables(
             Tf[:3, :3].reshape(-1),
             Tf[:3, 3],
             jnp.asarray(max_dist_sq, jnp.float32).reshape(-1)[:1],
-            jnp.zeros((7,), jnp.float32),
+            jnp.asarray(robust_c, jnp.float32).reshape(-1)[:1],
+            jnp.zeros((6,), jnp.float32),
         ]
     )[None, :]  # [1, 20] (2-D so vmap's squeezed batch dim lowers — see kernel)
 
@@ -771,7 +812,7 @@ def gicp_linearize_tables(
         with jax.enable_x64(False):
             corr, acc = pl.pallas_call(
                 partial(_fused_kernel_listed, ts=ts, L=L, transposed=use_T,
-                        factor=factor),
+                        factor=factor, robust=robust),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -806,7 +847,7 @@ def gicp_linearize_tables(
         grid = (n_qb, mp // block_m)
         with jax.enable_x64(False):
             corr, acc = pl.pallas_call(
-                partial(_fused_kernel, ts=ts, factor=factor),
+                partial(_fused_kernel, ts=ts, factor=factor, robust=robust),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -856,7 +897,7 @@ def gicp_linearize_tables(
 
 
 @partial(jax.jit, static_argnames=(
-    "block_q", "block_m", "interpret", "sort", "factor"))
+    "block_q", "block_m", "interpret", "sort", "factor", "robust"))
 def gicp_linearize_pallas(
     target_points: jax.Array,  # [M,4]
     target_covs: jax.Array,  # [M,3,3] (GICP) or None
@@ -871,6 +912,8 @@ def gicp_linearize_pallas(
     sort: bool = True,
     factor: str = "gicp",
     target_normals: jax.Array = None,  # [M,4] (plane_icp)
+    robust: str = None,
+    robust_c=1.0,
 ) -> Tuple[jax.Array, ...]:
     """Fused GICP search+linearize (standalone convenience entry:
     gicp_prepare + gicp_linearize_tables + per-point output extraction).
@@ -899,6 +942,7 @@ def gicp_linearize_pallas(
     H, b, _inliers, corr16 = gicp_linearize_tables(
         ttab, tb, qtab, T, max_dist_sq, ttab_T,
         block_q=block_q, block_m=block_m, interpret=interpret, factor=factor,
+        robust=robust, robust_c=robust_c,
     )
     H = H.astype(dtype)
     b = b.astype(dtype)
@@ -915,7 +959,8 @@ def gicp_linearize_pallas(
     return H, b, mu, W, mask, sq, corr16, sorted_src
 
 
-def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False):
+def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False,
+                   robust: str = None, rc_ref=None):
     """All LM trial errors in one pass.
 
     ps_ref: SMEM [1, 12*(K+1)] rows of [R row-major 9 | t 3] per pose
@@ -928,6 +973,11 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False):
     lane=True is the fleet path: ps_ref is the FULL [B, 12*K1] SMEM
     array (lane-blocked SMEM windows fail Mosaic's block-shape check)
     and the kernel reads its lane's row at program_id(0).
+
+    robust/rc_ref: Huber/Cauchy re-weighting w(√e_i)·e_i recomputed at
+    EVERY pose — RobustFactor::error semantics (robust_kernel.hpp:95-97:
+    the weight tracks the trial pose's own error, not the linearization
+    pose's). rc_ref is a [1,1] SMEM scalar holding c.
     """
     li = pl.program_id(0) if lane else 0
     k1 = ps_ref.shape[1] // 12
@@ -954,7 +1004,10 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False):
         wr0 = w[0] * rx + w[1] * ry + w[2] * rz
         wr1 = w[3] * rx + w[4] * ry + w[5] * rz
         wr2 = w[6] * rx + w[7] * ry + w[8] * rz
-        rows.append(0.5 * (rx * wr0 + ry * wr1 + rz * wr2) * mask)
+        e_k = 0.5 * (rx * wr0 + ry * wr1 + rz * wr2)
+        if robust is not None:
+            e_k = _robust_w(robust, rc_ref[0, 0], e_k) * e_k
+        rows.append(e_k * mask)
     rows += [jnp.zeros_like(px)] * (128 - len(rows))
     v = jnp.concatenate(rows, axis=0)  # [128, BQ]
     bq = px.shape[1]
@@ -966,7 +1019,7 @@ def _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane: bool = False):
     )
 
 
-@partial(jax.jit, static_argnames=("block_q", "interpret"))
+@partial(jax.jit, static_argnames=("block_q", "interpret", "robust"))
 def gicp_error_multi_pallas(
     corr16: jax.Array,  # [16, QP] raw buffer from gicp_linearize_pallas
     source_points: jax.Array,  # [N,4]
@@ -974,6 +1027,8 @@ def gicp_error_multi_pallas(
     num_points: jax.Array,  # scalar int32
     block_q: int = 512,
     interpret: bool = False,
+    robust: str = None,
+    robust_c=1.0,
 ) -> jax.Array:
     """[K1] total frozen-correspondence errors, one kernel group.
 
@@ -1014,12 +1069,22 @@ def gicp_error_multi_pallas(
     )[None, :]  # [1, 12*K1]
 
     grid = (qp // block_q,)
+    if robust is not None:
+        kernel = lambda ps_r, rc_r, c_r, q_r, a_r: _trials_kernel(
+            ps_r, c_r, q_r, a_r, robust=robust, rc_ref=rc_r
+        )
+        extra_in = [jnp.asarray(robust_c, jnp.float32).reshape(1, 1)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        kernel = _trials_kernel
+        extra_in, extra_specs = [], []
     with jax.enable_x64(False):
         acc = pl.pallas_call(
-            _trials_kernel,
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                *extra_specs,
                 pl.BlockSpec(
                     (16, block_q), lambda qi: (0, qi), memory_space=pltpu.VMEM
                 ),
@@ -1034,7 +1099,7 @@ def gicp_error_multi_pallas(
                 (qp // block_q * 8, 128), jnp.float32
             ),
             interpret=interpret,
-        )(ps, corr16, qtab)
+        )(ps, *extra_in, corr16, qtab)
 
     from small_gicp_tpu.models.factors import _error_accum_dtype
 
@@ -1149,7 +1214,7 @@ def _fleet_live_lists(tbs, qbbs, uids, Ts, max_dist_sq, active, L):
     return lists, counts
 
 
-@partial(jax.jit, static_argnames=("block_q", "interpret"))
+@partial(jax.jit, static_argnames=("block_q", "interpret", "robust"))
 def gicp_linearize_fleet(
     ttabs: jax.Array,  # [U,MP,16] from gicp_fleet_prepare
     tbs: jax.Array,  # [U,n_tt*8]
@@ -1161,6 +1226,8 @@ def gicp_linearize_fleet(
     active: jax.Array,  # [B] bool
     block_q: int = 512,
     interpret: bool = False,
+    robust: str = None,
+    robust_c=1.0,
 ) -> Tuple[jax.Array, ...]:
     """Per-round fused search+linearize for B lanes over U pairs.
 
@@ -1199,13 +1266,18 @@ def gicp_linearize_fleet(
                 jnp.asarray(max_dist_sq, jnp.float32).reshape(1, 1),
                 (bsz, 1),
             ),
-            jnp.zeros((bsz, 7), jnp.float32),
+            jnp.broadcast_to(
+                jnp.asarray(robust_c, jnp.float32).reshape(1, 1),
+                (bsz, 1),
+            ),
+            jnp.zeros((bsz, 6), jnp.float32),
         ],
         axis=1,
     )  # [B,20]
 
     kernel = partial(
-        _fused_kernel_listed, ts=ts, L=L, transposed=False, qdim=1
+        _fused_kernel_listed, ts=ts, L=L, transposed=False, qdim=1,
+        robust=robust,
     )
 
     def fleet_kernel(uids_ref, nt_ref, lists_ref, counts_ref, t_ref,
@@ -1267,7 +1339,7 @@ def gicp_linearize_fleet(
     return H, b, inliers, corr
 
 
-@partial(jax.jit, static_argnames=("block_q", "interpret"))
+@partial(jax.jit, static_argnames=("block_q", "interpret", "robust"))
 def gicp_error_multi_fleet(
     corr16: jax.Array,  # [B,16,QP] from gicp_linearize_fleet
     qtabs: jax.Array,  # [U,16,QP] (rows 0-2 = source xyz)
@@ -1275,6 +1347,8 @@ def gicp_error_multi_fleet(
     Ts: jax.Array,  # [B,K1,4,4] per-lane poses (current first)
     block_q: int = 512,
     interpret: bool = False,
+    robust: str = None,
+    robust_c=1.0,
 ) -> jax.Array:
     """[B,K1] frozen-correspondence errors for B lanes in one kernel.
 
@@ -1294,9 +1368,20 @@ def gicp_error_multi_fleet(
         [Tf[:, :, :3, :3].reshape(bsz, k1, 9), Tf[:, :, :3, 3]], axis=-1
     ).reshape(bsz, k1 * 12)  # [B, 12*K1]
 
-    def fleet_kernel(uids_ref, ps_ref, c_ref, q_ref, acc_ref):
-        del uids_ref
-        _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane=True)
+    if robust is not None:
+        def fleet_kernel(uids_ref, ps_ref, rc_ref, c_ref, q_ref, acc_ref):
+            del uids_ref
+            _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane=True,
+                           robust=robust, rc_ref=rc_ref)
+
+        extra_in = [jnp.asarray(robust_c, jnp.float32).reshape(1, 1)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        def fleet_kernel(uids_ref, ps_ref, c_ref, q_ref, acc_ref):
+            del uids_ref
+            _trials_kernel(ps_ref, c_ref, q_ref, acc_ref, lane=True)
+
+        extra_in, extra_specs = [], []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1304,6 +1389,7 @@ def gicp_error_multi_fleet(
         in_specs=[
             # Full [B, 12*K1] SMEM row table (see _trials_kernel lane=True).
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *extra_specs,
             pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (b, 0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 16, block_q), lambda b, qi, u: (u[b], 0, qi),
@@ -1322,7 +1408,7 @@ def gicp_error_multi_fleet(
                 (bsz * n_qb * 8, 128), jnp.float32
             ),
             interpret=interpret,
-        )(uids.astype(jnp.int32), ps, corr16, qtabs)
+        )(uids.astype(jnp.int32), ps, *extra_in, corr16, qtabs)
 
     from small_gicp_tpu.models.factors import _error_accum_dtype
 

@@ -27,7 +27,9 @@ fail (optimizer.hpp:100-144 semantics). Exactness vs per-problem
 align_impl is pinned by tests/test_fleet.py.
 
 Restrictions (the fused-kernel contract): GICP factor, LM optimizer,
-f32 clouds with covariances, no robust kernel / DoF mask.
+f32 clouds with covariances, no DoF mask. Huber/Cauchy robust kernels
+run fused (robust_kernel=/robust_c= — the weight is applied inside the
+linearize and trial-error kernels, same semantics as align_impl).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ def _stack_single(cloud: PointCloud) -> PointCloud:
         "max_inner_iterations",
         "block_q",
         "interpret",
+        "robust_kernel",
     ),
 )
 def _fleet_run(
@@ -78,6 +81,8 @@ def _fleet_run(
     lambda_factor,
     block_q: int,
     interpret: bool,
+    robust_kernel: str = None,
+    robust_c=1.0,
 ):
     from small_gicp_tpu.ops.gicp_fused_pallas import (
         gicp_error_multi_fleet,
@@ -127,6 +132,7 @@ def _fleet_run(
         H, b, inliers, corr = gicp_linearize_fleet(
             ttabs, tbs, qtabs, qbbs, uids, s["T"], md2, active,
             block_q=block_q, interpret=interpret,
+            robust=robust_kernel, robust_c=robust_c,
         )
 
         # Batched LM lambda trials (identical semantics to align_impl's
@@ -145,6 +151,7 @@ def _fleet_run(
         errs_all = gicp_error_multi_fleet(
             corr, qtabs, uids, all_poses, block_q=block_q,
             interpret=interpret,
+            robust=robust_kernel, robust_c=robust_c,
         )  # [B,K+1]
         e0 = errs_all[:, 0]
         errs = errs_all[:, 1:]
@@ -274,6 +281,8 @@ def align_fleet(
     block_q: int = 512,
     prepared=None,
     interpret: Optional[bool] = None,
+    robust_kernel: Optional[str] = None,
+    robust_c: float = 1.0,
 ) -> RegistrationResult:
     """Register P GICP problems through B persistent lanes.
 
@@ -298,6 +307,9 @@ def align_fleet(
         stages preparation as its own program.
       interpret: force the Pallas interpreter (default: off on TPU, on
         elsewhere so CPU tests run the same code path).
+      robust_kernel/robust_c: optional Huber/Cauchy robustification —
+        runs INSIDE the fused kernels (same accept/reject semantics as
+        align_impl with the same arguments).
 
     Returns a RegistrationResult with leading [P] axis, each row equal
     to align_impl(target, source, None, init_T) for that problem.
@@ -343,6 +355,8 @@ def align_fleet(
         lambda_factor=lambda_factor,
         block_q=int(block_q),
         interpret=bool(interpret),
+        robust_kernel=robust_kernel,
+        robust_c=robust_c,
     )
 
 

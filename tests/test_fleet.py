@@ -234,3 +234,36 @@ def test_fleet_sharded_rejects_uneven_queue(rng):
     target, source = _pair(rng, 100, 120, 512)
     with pytest.raises(ValueError, match="divide evenly"):
         align_fleet_sharded(target, source, _poses(rng, 9), mesh)
+
+
+@pytest.mark.parametrize("robust,c", [("huber", 0.5), ("cauchy", 0.3)])
+def test_fleet_robust_matches_align_impl(fleet_problem, robust, c):
+    """Fused robust kernels at the OPTIMIZER level (VERDICT r4 #1): the
+    fleet (fused linearize + fused trial errors, interpreter mode on
+    CPU) must take the same accept/reject decisions and iteration counts
+    as align_impl's XLA robust path on the same problems."""
+    targets, sources, pair_ids, init_Ts, singles = fleet_problem
+    t0, s0, t1, s1 = singles
+    r = align_fleet(
+        targets, sources, init_Ts, pair_ids=pair_ids, num_lanes=3,
+        robust_kernel=robust, robust_c=c,
+    )
+    pairs = {0: (t0, s0), 1: (t1, s1)}
+    for p in range(5):
+        t, s = pairs[int(pair_ids[p])]
+        ref = align_impl(
+            t, s, None, init_Ts[p], registration_type="gicp",
+            robust_kernel=robust, robust_c=c, use_fused="never",
+        )
+        assert int(r.iterations[p]) == int(ref.iterations), (
+            f"problem {p}: {int(r.iterations[p])} vs {int(ref.iterations)}"
+        )
+        assert bool(r.converged[p]) == bool(ref.converged)
+        np.testing.assert_allclose(
+            np.asarray(r.T_target_source[p]),
+            np.asarray(ref.T_target_source),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            float(r.error[p]), float(ref.error), rtol=1e-3
+        )
