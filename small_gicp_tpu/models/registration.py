@@ -243,8 +243,9 @@ def align_impl(
     accumulator + join (reduction_omp.hpp:32-58): 43 floats + K trial
     errors per iteration ride the interconnect, nothing else.
 
-    use_fused: "auto" routes the plain-GICP / plain-cloud / f32 / TPU
-    case through the single fused Pallas search+linearize kernel
+    use_fused: "auto" routes the plain-cloud / f32 / TPU case (any
+    factor, optionally Huber/Cauchy-robustified)
+    through the single fused Pallas search+linearize kernel
     (ops/gicp_fused_pallas.py — one kernel group per iteration instead
     of the NN + gather + weights + einsum chain); "never" keeps the XLA
     path (callers that vmap this function pass "never": pallas_call
