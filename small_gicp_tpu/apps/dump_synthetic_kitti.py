@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--radius", type=float, default=80.0)
     p.add_argument("--frame-dist", type=float, default=1.2)
+    p.add_argument("--noise", type=float, default=0.012,
+                   help="Gaussian range-noise sigma in meters")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="per-ray no-return probability")
+    p.add_argument("--dynamic", type=int, default=0,
+                   help="number of moving cylinder objects in the scene")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -41,7 +47,8 @@ def main(argv=None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     frames_dev, counts, gt = generate_sequence_device(
         n_frames=args.frames, seed=args.seed, radius=args.radius,
-        frame_dist=args.frame_dist,
+        frame_dist=args.frame_dist, noise=args.noise,
+        dropout=args.dropout, n_dynamic=args.dynamic,
     )
     frames = np.asarray(frames_dev)
     counts = np.asarray(counts)
