@@ -287,9 +287,13 @@ def knn_moments_pallas(
     different but exactly-equidistant member — see module docstring).
 
     f32 TPU path; the sorted cloud stays VMEM-resident as a dense
-    [8, MP] block (MP·32 B) which together with the per-visit [ts, BQ]
-    distance temporaries and top-k scratch must fit the ~16 MB scoped
-    VMEM budget — practical ceiling ≈ 256k rows, enforced below.
+    [8, MP] block (MP·32 B). Under the default ~16 MB scoped-VMEM
+    budget that caps at ≈256k rows; above that (round-5 tiling item)
+    the call raises the Mosaic scoped-VMEM limit to 100 MB (the
+    chip has 128 MB) and bumps block_q to 512 so the SMEM live-tile
+    lists stay bounded — practical ceiling ≈ 1M rows, enforced below
+    (the table is 32 MB and the [ts, BQ] visit temporaries ~8 MB each
+    at that size).
     """
     if k > 64:
         raise ValueError(f"knn_moments_pallas supports k<=64, got {k}")
@@ -298,13 +302,19 @@ def knn_moments_pallas(
         # distances; w < k would fail deep inside top_k with an obscure
         # trace-time error.
         raise ValueError(f"window must be >= k (got window={window}, k={k})")
-    if points.shape[0] > 262_144:
+    if points.shape[0] > 1_048_576:
         raise ValueError(
             "knn_moments_pallas keeps the whole sorted cloud VMEM-"
-            f"resident; N={points.shape[0]} exceeds the ~256k-row "
-            "scoped-VMEM envelope (use the dense knn path for larger "
-            "clouds)"
+            f"resident; N={points.shape[0]} exceeds the ~1M-row VMEM "
+            "envelope (use the dense knn path for larger clouds)"
         )
+    big = points.shape[0] > 262_144
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if big else None
+    )
+    if big:
+        block_q = max(block_q, 512)
     from small_gicp_tpu.ops.knn_window import morton_codes32
 
     n = points.shape[0]
@@ -416,6 +426,7 @@ def knn_moments_pallas(
                     pltpu.VMEM((kp, block_q), jnp.float32),
                 ],
                 interpret=interpret,
+                compiler_params=compiler_params,
             )(lists, counts[None, :], t, q)
         out = out_t.T
     elif layout == "q":
@@ -444,6 +455,7 @@ def knn_moments_pallas(
                     pltpu.VMEM((block_q, k), jnp.float32),
                 ],
                 interpret=interpret,
+                compiler_params=compiler_params,
             )(lists, counts[None, :], t, q)
     else:
         raise ValueError(f"unknown layout {layout!r} (use 't' or 'q')")

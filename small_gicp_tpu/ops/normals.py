@@ -57,12 +57,14 @@ def _estimate_impl(
         dtype == jnp.float32
         and jax.default_backend() == "tpu"
         and num_neighbors <= 64
-        and n <= 262_144
+        and n <= 1_048_576
     ):
         # Same exact-kNN semantics, measured faster on chip (13.0 vs
         # 13.7 ms at 16k/k=20, 2026-08-20): the transposed-layout
         # moments kernel carries the winners' query-centered offsets,
-        # so the [N,k] neighbor gather is never paid.
+        # so the [N,k] neighbor gather is never paid. Above 256k rows
+        # the kernel raises the Mosaic scoped-VMEM limit (round 5) —
+        # fused covariance stays active to ~1M rows.
         neighbor_mode = "fused"
     if neighbor_mode == "fused":
         # One fused kernel for the whole self-kNN + moment stage: the
