@@ -277,6 +277,7 @@ def morton_presort(
 def _fused_finalize(
     best_d, best_pay, q_ref, corr_ref, acc_ref, rmat9, qxyz, pxyz, max_d2,
     factor: str = "gicp", robust: str = None, robust_c=None,
+    exact_d: bool = False,
 ):
     """Per-query-block linearization from the winning correspondences:
     per-point weight W, rejector mask, J = [R·skew(p) | −R], the
@@ -305,9 +306,6 @@ def _fused_finalize(
     px, py, pz = pxyz
     bq = q_ref.shape[1]
     d = best_d[0:1, :]
-    mask = (
-        (d <= max_d2) & (d < _BIG / 2.0) & (q_ref[12:13, :] > 0.5)
-    ).astype(jnp.float32)
 
     mux = best_pay[0:1, :]
     muy = best_pay[1:2, :]
@@ -315,6 +313,19 @@ def _fused_finalize(
     rx = mux - qx
     ry = muy - qy
     rz = muz - qz
+
+    if exact_d:
+        # mxu_dist path: best_d carries the MXU score ‖t‖² − 2 t·q
+        # (per-query constant off true d²) — recompute the winner's
+        # EXACT d² from its payload so the rejector test and the frozen
+        # corr buffer keep the VPU path's contract. The no-winner case
+        # stays on the raw score (init _BIG).
+        d = jnp.where(
+            d < _BIG / 2.0, rx * rx + ry * ry + rz * rz, d
+        )
+    mask = (
+        (d <= max_d2) & (d < _BIG / 2.0) & (q_ref[12:13, :] > 0.5)
+    ).astype(jnp.float32)
 
     if factor == "gicp":
         # A = R C_s; B = A Rᵀ; M = C_t + B  (gicp_factor.hpp:59)
@@ -455,7 +466,7 @@ def _fused_finalize(
 def _fused_kernel_listed(
     nt_ref, lists_ref, counts_ref, t_ref, q_ref, corr_ref, acc_ref,
     best_d, best_pay, *, ts: int, L: int, transposed: bool, qdim: int = 0,
-    factor: str = "gicp", robust: str = None,
+    factor: str = "gicp", robust: str = None, mxu_dist: bool = False,
 ):
     """List-driven variant of _fused_kernel: the WHOLE (Morton-sorted)
     target is VMEM-resident, grid = (query_blocks,), and each block
@@ -507,6 +518,23 @@ def _fused_kernel_listed(
     n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
     row = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
 
+    if mxu_dist and not transposed:
+        # MXU-distance experiment (round-5 roofline, VERDICT r4 #3):
+        # the kernel is VPU-bound (51% VPU / 14% MXU load measured), so
+        # evaluate the distance tile on the MXU instead: ONE K=16 dot
+        # of the raw tile rows against [−2q | … | 1@12 | …] yields
+        # ‖t‖² − 2·t·q (gicp_prepare writes ‖t‖² into ttab col 12).
+        # That score orders targets identically to true d² for a fixed
+        # query (it differs by the per-query constant ‖q‖²), so argmin
+        # and best-d comparisons are unchanged; the finalize recomputes
+        # the WINNER's exact d² from its payload row, keeping the
+        # rejector test and the frozen corr buffer exact.
+        q16_rows = [(-2.0) * qx, (-2.0) * qy, (-2.0) * qz]
+        q16_rows += [jnp.zeros_like(qx)] * 9
+        q16_rows += [jnp.ones_like(qx)]
+        q16_rows += [jnp.zeros_like(qx)] * 3
+        q16 = jnp.concatenate(q16_rows, axis=0)  # [16, BQ]
+
     def tile_body(t, carry):
         jl = jnp.where(
             use_list,
@@ -521,18 +549,34 @@ def _fused_kernel_listed(
             tx_ = jnp.transpose(t16[0:1, :], (1, 0))
             ty_ = jnp.transpose(t16[1:2, :], (1, 0))
             tz_ = jnp.transpose(t16[2:3, :], (1, 0))
+            dx = qx - tx_
+            dy = qy - ty_
+            dz = qz - tz_
+            d2 = dx * dx + dy * dy + dz * dz  # [TS, BQ]
         else:
             # Row-major [MP,16] layout: no per-tile transposes; the 8x
             # VMEM padding is affordable below ~64k rows and measures
             # ~20% faster at scan scale.
             rows_t = t_ref[pl.ds(jl * ts, ts), :]  # [TS, 16]
-            tx_ = rows_t[:, 0:1]
-            ty_ = rows_t[:, 1:2]
-            tz_ = rows_t[:, 2:3]
-        dx = qx - tx_
-        dy = qy - ty_
-        dz = qz - tz_
-        d2 = dx * dx + dy * dy + dz * dz  # [TS, BQ]
+            if mxu_dist:
+                # HIGHEST (6-pass f32) is forced: Mosaic rejects
+                # Precision.HIGH (3-pass), and 1-pass bf16 scores are
+                # too coarse for NN decisions. Measured SLOWER than the
+                # VPU difference form — see BENCHMARK.md negative
+                # results ("MXU-distance experiment").
+                d2 = jax.lax.dot_general(
+                    rows_t, q16, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [TS, BQ] = ‖t‖² − 2 t·q (exact-d recomputed at finalize)
+            else:
+                tx_ = rows_t[:, 0:1]
+                ty_ = rows_t[:, 1:2]
+                tz_ = rows_t[:, 2:3]
+                dx = qx - tx_
+                dy = qy - ty_
+                dz = qz - tz_
+                d2 = dx * dx + dy * dy + dz * dz  # [TS, BQ]
         tile_min = jnp.min(d2, axis=0, keepdims=True)
         tile_row = jnp.min(
             jnp.where(d2 <= tile_min, row, jnp.int32(2**30)),
@@ -564,6 +608,7 @@ def _fused_kernel_listed(
         (r00, r01, r02, r10, r11, r12, r20, r21, r22), (qx, qy, qz),
         (px, py, pz), max_d2, factor,
         robust, nt_ref[li, 13],
+        exact_d=mxu_dist and not transposed,
     )
 
 
@@ -683,6 +728,12 @@ def gicp_prepare(
     if mp != m:
         padrow = jnp.zeros((mp - m, 16), jnp.float32).at[:, :3].set(1.0e12)
         ttab = jnp.concatenate([ttab, padrow], axis=0)
+    # Col 12 = ‖t‖² (computed AFTER padding so sentinel rows score huge):
+    # the mxu_dist kernel variant reads it to form ‖t‖² − 2 t·q with one
+    # K=16 MXU dot of the raw tile (see _fused_kernel_listed). Unused by
+    # the VPU-distance path; the one-hot payload extraction only
+    # consumes rows 0-11.
+    ttab = ttab.at[:, 12].set(jnp.sum(ttab[:, :3] ** 2, axis=1))
 
     # Per-thin-tile bboxes over finite rows (sentinel rows excluded —
     # they can never be accepted correspondences, so a tile of them may
@@ -718,7 +769,7 @@ def gicp_prepare(
 
 
 @partial(jax.jit, static_argnames=(
-    "block_q", "block_m", "interpret", "factor", "robust"))
+    "block_q", "block_m", "interpret", "factor", "robust", "mxu_dist"))
 def gicp_linearize_tables(
     ttab: jax.Array,  # [MP,16] from gicp_prepare
     tb: jax.Array,  # [1, n_tt*8]
@@ -732,8 +783,17 @@ def gicp_linearize_tables(
     factor: str = "gicp",
     robust: str = None,
     robust_c=1.0,
+    mxu_dist: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-iteration fused search+linearize over prepared tables.
+
+    mxu_dist=True evaluates the distance tiles on the MXU (score form
+    ‖t‖² − 2 t·q with the winner's exact d² recomputed at finalize) —
+    the round-5 roofline experiment; only active on the row-major
+    list-driven path (mp ≤ 64k). Near-exact: an argmin between two
+    targets whose d² differ by less than the f32 score rounding
+    (~‖q‖²·2⁻²⁴) may pick the other, exactly the tolerance class of
+    the XLA brute-force oracle's matmul form (ops/knn.py).
 
     Returns (H [6,6] f32, b [6] f32, num_inliers f32 scalar,
     corr16 [16,QP]) — the ONLY quantities an optimizer iteration needs
@@ -812,7 +872,7 @@ def gicp_linearize_tables(
         with jax.enable_x64(False):
             corr, acc = pl.pallas_call(
                 partial(_fused_kernel_listed, ts=ts, L=L, transposed=use_T,
-                        factor=factor, robust=robust),
+                        factor=factor, robust=robust, mxu_dist=mxu_dist),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),

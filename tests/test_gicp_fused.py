@@ -224,3 +224,37 @@ def test_fused_robust_matches_xla(rng, robust, c):
         robust=robust, robust_c=c,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4)
+
+
+def test_mxu_dist_variant_matches_vpu_form(rng):
+    """The MXU-distance experimental flag (round-5 roofline, documented
+    negative result in BENCHMARK.md) must stay correct: identical masks
+    and near-identical H/b/corr vs the default VPU difference form."""
+    from small_gicp_tpu.ops.gicp_fused_pallas import (
+        gicp_linearize_tables,
+        gicp_prepare,
+    )
+
+    target, source = _pair(rng)
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    ttab, tb, qtab, _ssrc, _sp, ttabT = gicp_prepare(
+        target.points, target.covs, source.points, source.covs,
+        source.num_points,
+    )
+    outs = {}
+    for mx in (False, True):
+        H, b, inl, corr = gicp_linearize_tables(
+            ttab, tb, qtab, T, jnp.float32(1.0), ttabT,
+            interpret=True, mxu_dist=mx,
+        )
+        outs[mx] = (np.asarray(H), np.asarray(b), float(inl), np.asarray(corr))
+    H0, b0, i0, c0 = outs[False]
+    H1, b1, i1, c1 = outs[True]
+    assert i0 == i1
+    m0, m1 = c0[12] > 0.5, c1[12] > 0.5
+    # near-exact: ties at the score-rounding level may flip membership
+    assert (m0 != m1).mean() < 0.01
+    scale = max(1.0, np.abs(H0).max())
+    np.testing.assert_allclose(H1 / scale, H0 / scale, atol=5e-4)
+    both = m0 & m1
+    np.testing.assert_allclose(c1[13][both], c0[13][both], atol=1e-4)
