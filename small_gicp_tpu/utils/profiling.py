@@ -45,6 +45,14 @@ def enable_compilation_cache(
     cache_dir defaults to SGT_JAX_CACHE_DIR if set, else `.jax_cache`
     next to the package checkout (NOT a hardcoded absolute path — the
     cache must follow the checkout it belongs to).
+
+    The cache is namespaced per HOST FINGERPRINT (see host_fingerprint):
+    jax's cache key does not include the executing machine's CPU
+    features, and XLA:CPU AOT executables compiled on a different host
+    DO load here ("machine type ... doesn't match ... could lead to
+    SIGILL" in stderr) with subtly different numerics — observed as a
+    2e-4 pose divergence between a cache-hit program and a freshly
+    compiled one in the same process (round-5 full-suite flake).
     """
     import os
 
@@ -54,11 +62,34 @@ def enable_compilation_cache(
                 os.path.abspath(__file__)))),
             ".jax_cache",
         )
+    cache_dir = os.path.join(cache_dir, host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs
     )
+
+
+def host_fingerprint() -> str:
+    """Short stable id of this host's CPU capability set, for
+    namespacing persistent-cache directories (cross-host XLA:CPU AOT
+    reuse is unsound — see enable_compilation_cache)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(
+        (platform.machine() + "|" + feats).encode()
+    ).hexdigest()[:12]
+    return f"host-{h}"
 
 
 @contextlib.contextmanager

@@ -108,7 +108,19 @@ def test_batch_throughput_engines_smoke(rng):
 
 def test_batch_odometry_sharded_matches_unsharded(rng):
     """Fleet odometry with the lane axis sharded over the 8-device mesh
-    == the same lanes unsharded (pure data parallelism)."""
+    tracks the same lanes unsharded (pure data parallelism).
+
+    Tolerance note (round-5 full-suite flake, root-caused): the sharded
+    and unsharded programs vectorize the lane axis differently (B-wide
+    vmap vs per-device slices), so f32 reduction orders differ by ulps.
+    The LM accept test `new_e <= e` sits on a knife edge — on SOME
+    worlds (the session rng makes the data order-dependent by design)
+    one trial flips, the iteration path differs, and poses diverge by
+    up to the convergence epsilon (translation_eps = 1e-3) while BOTH
+    runs converge correctly. The contract is therefore convergence-
+    level agreement, not bitwise equality; bitwise parity of a single
+    registration under sharding is covered by the exact-reduction
+    tests in test_map_sharding/test_fleet."""
     from small_gicp_tpu.models.odometry import OdometryParams
     from small_gicp_tpu.models.odometry_scan import BatchOdometry
 
@@ -127,4 +139,6 @@ def test_batch_odometry_sharded_matches_unsharded(rng):
     mesh = make_mesh()
     poses_sh = BatchOdometry(n_lanes, params, mesh=mesh).feed(seqs)
     poses = BatchOdometry(n_lanes, params).feed(seqs)
-    np.testing.assert_allclose(poses_sh, poses, rtol=1e-5, atol=1e-6)
+    # Convergence-level agreement: within 2x the optimizer's own
+    # translation_eps (1e-3) everywhere.
+    np.testing.assert_allclose(poses_sh, poses, atol=2e-3)
