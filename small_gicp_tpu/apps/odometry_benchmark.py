@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map_voxel_capacity", type=int, default=None,
                    help="voxel slots of the incremental map (default "
                         "map_capacity // 4)")
+    p.add_argument("--model_prepared_rows", type=int, default=None,
+                   help="compact the map-side target to this many live "
+                        "rows before the fused prepare (_fused engines; "
+                        "live rows beyond the budget are dropped — size "
+                        "above the LRU-bounded live count). Default off")
     p.add_argument("--map_capacity", type=int, default=131072,
                    help="model-map point capacity (model engines)")
     p.add_argument("--num_offsets", type=int, default=1, choices=(1, 7, 27),
@@ -124,6 +129,7 @@ def main(argv=None) -> int:
         max_frame_motion=args.max_frame_motion,
         num_offsets=args.num_offsets,
         predict_motion=args.predict_motion,
+        model_prepared_rows=args.model_prepared_rows,
     )
     if args.engine in JIT_ENGINES:
         # Fully-jitted loop: whole chunks of frames run as ONE XLA

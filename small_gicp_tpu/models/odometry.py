@@ -96,6 +96,15 @@ class OdometryParams:
     # VGICPModelOdometry); engines without a motion model (scan-to-scan,
     # flow) warn at construction if it is set.
     max_frame_motion: Optional[float] = None
+    # ⊕ Live-row compaction budget for the `_fused` model engines
+    # (jitted path only): compact the map-side target to this many live
+    # rows before the fused prepare, skipping the dead-slot fraction of
+    # the per-frame Morton sort + gathers (round-5 device trace: the
+    # largest non-kernel slice). Live rows beyond the budget are
+    # DROPPED — size above the LRU-bounded live count (the 600-frame
+    # benchmark world holds ~35k live points in a 327k-row map). None =
+    # off (full-capacity tables, exact by construction).
+    model_prepared_rows: Optional[int] = None
 
 
 class _OdometryBase:

@@ -37,6 +37,7 @@ from small_gicp_tpu.models.odometry import OdometryParams
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
         "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
+        "model_prepared_rows",
     ),
 )
 def odometry_scan_step(
@@ -52,6 +53,7 @@ def odometry_scan_step(
     model_nn: str = "voxel",
     model_rtype: str = "gicp",
     max_frame_motion: float = 0.0,
+    model_prepared_rows: int = 0,
 ):
     """One odometry step; carry = (T_world [4,4], T_delta [4,4],
     voxelmap, is_first). T_delta is the last frame-to-frame motion; with
@@ -157,6 +159,14 @@ def odometry_scan_step(
                 "model_nn='bruteforce' needs a GaussianVoxelMap or an "
                 f"IncrementalVoxelMap with {needs}"
             )
+        if 0 < model_prepared_rows < target.points.shape[0]:
+            # ⊕ Live-row compaction before the fused prepare (round-5
+            # device trace: the map-capacity-sized Morton sort + gathers
+            # were the largest non-kernel slice at ~10% live rows). See
+            # point_cloud.compact_cloud for the drop semantics.
+            from small_gicp_tpu.point_cloud import compact_cloud
+
+            target = compact_cloud(target, model_prepared_rows)
     result = align_impl(
         target,
         cloud,
@@ -316,6 +326,7 @@ def odometry_scan_s2s(
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
         "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
+        "model_prepared_rows",
     ),
 )
 def odometry_scan(
@@ -331,6 +342,7 @@ def odometry_scan(
     model_nn: str = "voxel",
     model_rtype: str = "gicp",
     max_frame_motion: float = 0.0,
+    model_prepared_rows: int = 0,
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -352,6 +364,7 @@ def odometry_scan(
             model_nn=model_nn,
             model_rtype=model_rtype,
             max_frame_motion=max_frame_motion,
+            model_prepared_rows=model_prepared_rows,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -518,6 +531,7 @@ class JitOdometry:
             model_nn=_model_nn_for(self.engine),
             model_rtype=_model_rtype_for(self.engine),
             max_frame_motion=float(p.max_frame_motion or 0.0),
+            model_prepared_rows=int(p.model_prepared_rows or 0),
         )
         return poses
 

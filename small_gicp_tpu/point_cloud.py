@@ -211,3 +211,58 @@ def transform_covs(T: jax.Array, covs: jax.Array) -> jax.Array:
     R = T[:3, :3]
     return jnp.einsum("ij,njk,lk->nil", R, covs, R,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def compact_cloud(cloud: "PointCloud", rows: int) -> "PointCloud":
+    """⊕ Compact a sentinel-padded cloud's LIVE rows into a smaller
+    fixed-capacity cloud (one fused scatter — O(capacity) row traffic).
+
+    Motivation (round-5 device trace): the scan-to-model engines hand
+    the fused registration path a slot-table cloud view whose capacity
+    is the MAP's payload capacity (e.g. 327k rows at ~10% live), and
+    `gicp_prepare` then Morton-sorts and permutes the whole padded
+    table every frame. Compacting live rows first shrinks the prepare
+    sort, its permutation gathers, and the kernel's VMEM tables by the
+    dead-row factor — and below 64k rows the kernel takes its faster
+    row-major layout.
+
+    Liveness = homogeneous w > 0.5 (slot-table views set w=0 on
+    dead/sentinel rows). Live rows KEEP their relative order; rows
+    beyond the first `rows` live ones are DROPPED deterministically —
+    size the budget above the map's LRU-bounded live count (the
+    odometry engines expose it as OdometryParams.model_prepared_rows
+    and leave it OFF by default for exactness-by-construction).
+    """
+    p = cloud.points
+    cap = p.shape[0]
+    live = p[:, 3] > 0.5
+    rank = jnp.cumsum(live.astype(jnp.int32)) - live.astype(jnp.int32)
+    dst = jnp.where(live & (rank < rows), rank, rows)
+
+    cols = [p]
+    n_off = c_off = None
+    off = 4
+    if cloud.normals is not None:
+        n_off = off
+        cols.append(cloud.normals)
+        off += 4
+    if cloud.covs is not None:
+        c_off = off
+        cols.append(cloud.covs.reshape(cap, 9))
+        off += 9
+    fused = jnp.concatenate(cols, axis=1)
+
+    pad = jnp.zeros((off,), p.dtype).at[0:3].set(PAD_SENTINEL)
+    out = jnp.broadcast_to(pad, (rows, off)).copy().at[dst].set(
+        fused, mode="drop"
+    )
+    return PointCloud(
+        points=out[:, 0:4],
+        num_points=jnp.minimum(
+            jnp.sum(live.astype(jnp.int32)), jnp.int32(rows)
+        ),
+        normals=None if n_off is None else out[:, n_off:n_off + 4],
+        covs=None if c_off is None else out[:, c_off:c_off + 9].reshape(
+            rows, 3, 3
+        ),
+    )

@@ -275,3 +275,55 @@ def test_max_frame_motion_clamp():
     base = 0.15 * 2      # world pose after the 3 establishing frames
     assert abs(x_loose - (base + 0.45)) < 0.05, x_loose
     assert abs(x_tight - (base + 0.15)) < 0.05, x_tight
+
+
+def test_compact_cloud_semantics():
+    """point_cloud.compact_cloud: live rows keep order, overflow drops
+    deterministically, payload columns travel with their rows."""
+    import jax.numpy as jnp
+
+    from small_gicp_tpu.point_cloud import PAD_SENTINEL, PointCloud, compact_cloud
+
+    pts = np.full((16, 4), PAD_SENTINEL, np.float32)
+    pts[:, 3] = 0.0
+    for i, xyz in [(3, (1, 2, 3)), (7, (4, 5, 6)), (12, (7, 8, 9))]:
+        pts[i, :3] = xyz
+        pts[i, 3] = 1.0
+    covs = np.zeros((16, 3, 3), np.float32)
+    covs[3, 0, 0], covs[7, 1, 1], covs[12, 2, 2] = 3, 7, 12
+    c = PointCloud(points=jnp.asarray(pts), num_points=jnp.asarray(3),
+                   covs=jnp.asarray(covs))
+    out = compact_cloud(c, 8)
+    assert int(out.num_points) == 3
+    np.testing.assert_allclose(np.asarray(out.points[:3, :3]),
+                               [[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+    assert float(out.points[3, 0]) == PAD_SENTINEL  # pad tail
+    assert (float(out.covs[0, 0, 0]), float(out.covs[1, 1, 1]),
+            float(out.covs[2, 2, 2])) == (3.0, 7.0, 12.0)
+    # overflow: first `rows` live rows kept, count clamped
+    out2 = compact_cloud(c, 2)
+    assert int(out2.num_points) == 2
+    np.testing.assert_allclose(np.asarray(out2.points[:, 0]), [1, 4])
+
+
+def test_model_prepared_rows_equivalent_when_budget_sufficient():
+    """⊕ model_prepared_rows (live-row compaction before the fused
+    prepare) must not change the trajectory when the budget holds every
+    live row."""
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-8, 8, size=(2000, 3)).astype(np.float32)
+    base[:, 2] = 0.3 * np.sin(base[:, 0]) + 0.2 * np.cos(base[:, 1])
+    w = rng.uniform(-8, 8, size=(400, 2))
+    wall = np.c_[w[:, 0], np.full(400, -8.0), 1 + w[:, 1] * 0.2]
+    world = np.concatenate([base, wall]).astype(np.float32)
+    frames = [(world - [0.15 * i, 0, 0]).astype(np.float32) for i in range(4)]
+
+    p0 = OdometryParams(max_scan_points=4096, max_downsampled=4096,
+                        map_capacity=16384, voxel_resolution=1.0,
+                        num_neighbors=10)
+    p1 = dataclasses.replace(p0, model_prepared_rows=8192)
+    t0 = np.asarray(JitOdometry(p0, "gicp_model_fused", chunk_frames=4).feed(frames))
+    t1 = np.asarray(JitOdometry(p1, "gicp_model_fused", chunk_frames=4).feed(frames))
+    assert np.abs(t1 - t0).max() < 1e-3
