@@ -320,3 +320,62 @@ def test_fleet_sharded_single_device_mesh(rng):
         np.asarray(single.T_target_source), atol=1e-6)
     np.testing.assert_array_equal(
         np.asarray(sharded.iterations), np.asarray(single.iterations))
+
+
+@requires_tpu
+def test_fused_robust_kernels_compiled(rng):
+    """Mosaic-compiled Huber/Cauchy fused path (round 5) matches the
+    XLA robust oracle on chip — the linearize weight and the per-pose
+    trial re-weighting."""
+    from small_gicp_tpu.point_cloud import PointCloud
+    from small_gicp_tpu.models import factors
+    from small_gicp_tpu.models.registration import _search_correspondences
+    from small_gicp_tpu.ops.gicp_fused_pallas import (
+        gicp_error_multi_pallas,
+        gicp_linearize_pallas,
+    )
+    from small_gicp_tpu.utils.lie import se3_exp
+
+    m, n = 3000, 2500
+    tp = rng.uniform(-8, 8, size=(m, 3)).astype(np.float32)
+    sp = tp[rng.permutation(m)[:n]] + rng.normal(
+        scale=0.05, size=(n, 3)
+    ).astype(np.float32)
+
+    def covs(k):
+        a = rng.normal(size=(k, 3, 3)).astype(np.float32) * 0.05
+        return np.einsum("nij,nkj->nik", a, a) + np.eye(
+            3, dtype=np.float32
+        ) * 0.01
+
+    target = PointCloud.from_points(tp).replace(covs=jnp.asarray(covs(m)))
+    source = PointCloud.from_points(sp).replace(covs=jnp.asarray(covs(n)))
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    max_d2 = jnp.asarray(1.0, jnp.float32)
+    corr = _search_correspondences(
+        "gicp", target, None, source.points, source.num_points,
+        source.covs, T, max_d2,
+    )
+    for rk, c in (("huber", 0.8), ("cauchy", 0.5)):
+        H_ref, b_ref, _ = factors.linearize(corr, T, source.points, rk, c)
+        H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
+            target.points, target.covs, source.points, source.covs,
+            T, source.num_points, max_d2, robust=rk, robust_c=c,
+        )
+        assert np.array_equal(np.asarray(mask), np.asarray(corr.mask))
+        scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+        np.testing.assert_allclose(np.asarray(H) / scale,
+                                   np.asarray(H_ref) / scale, atol=1e-3)
+        Ts = jnp.stack([T, jnp.eye(4, dtype=jnp.float32)])
+        ref = factors.error_multi(
+            factors.Correspondences(
+                target_mu=mu, W=W, mask=mask,
+                target_idx=jnp.zeros(mask.shape, jnp.int32),
+            ),
+            Ts, source.points, robust_kernel=rk, robust_c=c,
+        )
+        got = gicp_error_multi_pallas(
+            corr16, sorted_src, Ts, source.num_points, robust=rk, robust_c=c,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4)
