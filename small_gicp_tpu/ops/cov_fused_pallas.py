@@ -34,6 +34,18 @@ Exact within fp tie-handling: ties are kept lexicographically by
 a different member than the XLA path's original-id order — identical
 moments up to the tied points' coordinates (they differ only when two
 distinct points are exactly equidistant).
+
+Round-5 layout "ti" (index-only kernel + XLA winner gather): the
+k-scaling measurement showed extraction passes dominate (1.86 ms at
+k=1 → 7.91 at k=20, 16k rows), and 6 of the ~10 [ts,BQ]-sized vector
+ops per pass were the masked coordinate sums feeding the 4-scratch
+payload carry. Carrying only (d², winner index) and paying the
+[N,k]-row winner gather in XLA — the very gather the original design
+avoided — measures FASTER standalone (5.98 vs 7.93 ms at 16k/k=20,
+399 vs 503 ms at 393k; identical winners) but ~1.4 ms/scan SLOWER
+inside the composed odometry program (29.8 vs 31.2 — the gather pays
+the usual composition tax). The auto default therefore picks "t" at
+scan scale (≤256k rows) and "ti" at map scale.
 """
 
 from __future__ import annotations
@@ -267,6 +279,91 @@ def _make_moments_kernel_T(k: int, ts: int, L: int, kp: int):
     return kernel
 
 
+def _make_topk_idx_kernel_T(k: int, ts: int, L: int, kp: int):
+    """Index-only variant of the transposed moments kernel (round-5
+    pass-cost experiment): the k-scaling measurement (1.86 ms at k=1 →
+    7.91 ms at k=20, 16k rows) shows extraction passes dominate, and
+    within a pass the three masked coordinate sums are 6 of the ~10
+    [ts, BQ]-sized vector ops. This kernel keeps only (d², global row
+    index) in the top-k scratch — per pass: one min, one masked
+    index-min, one invalidate — and leaves the winner-coordinate
+    gather + moment sums to XLA (one [N,k]-row gather, the cost the
+    4-scratch kernel was designed to avoid; at k=20 the trade measures
+    in the caller's favor — see BENCHMARK.md)."""
+
+    def kernel(lists_ref, counts_ref, t_ref, q_ref, out_ref, rd, ri):
+        qi = pl.program_id(0)
+        mp = t_ref.shape[1]
+        n_tt = mp // ts
+        bq = q_ref.shape[1]
+
+        cnt = counts_ref[0, qi]
+        use_list = cnt <= L
+        n_iter = jnp.where(use_list, cnt, jnp.int32(n_tt))
+
+        rd[:] = jnp.full_like(rd, _BIG)
+        # Unfilled-slot marker: 2^25 survives the f32 output exactly and
+        # is distinguishable from any real row id (mp ≤ 2^20).
+        ri[:] = jnp.full_like(ri, jnp.int32(1 << 25))
+
+        qx = q_ref[0:1, :]
+        qy = q_ref[1:2, :]
+        qz = q_ref[2:3, :]
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (ts, bq), 0)
+
+        def visit(t, carry):
+            jl = jnp.where(
+                use_list,
+                lists_ref[0, qi * L + jnp.minimum(t, L - 1)],
+                t.astype(jnp.int32),
+            )
+            t16 = t_ref[:, pl.ds(jl * ts, ts)]  # [8, ts]
+            tx_ = jnp.transpose(t16[0:1, :], (1, 0))
+            ty_ = jnp.transpose(t16[1:2, :], (1, 0))
+            tz_ = jnp.transpose(t16[2:3, :], (1, 0))
+            dx = tx_ - qx
+            dy = ty_ - qy
+            dz = tz_ - qz
+            d2 = dx * dx + dy * dy + dz * dz  # [ts, BQ]
+            gidx = row0 + jl * ts
+
+            run_d, run_i = rd[:], ri[:]
+            for _ in range(k):
+                m = jnp.min(d2, axis=0, keepdims=True)  # [1, BQ]
+                midx = jnp.min(
+                    jnp.where(d2 <= m, gidx, jnp.int32(2**30)),
+                    axis=0, keepdims=True,
+                )
+                d2 = jnp.where(gidx == midx, _BIG, d2)
+                gt = run_d > m  # [kp, BQ]
+                prev_d = jnp.concatenate(
+                    [jnp.full_like(run_d[:1], -_BIG), run_d[:-1]], axis=0
+                )
+                prev_i = jnp.concatenate([run_i[:1], run_i[:-1]], axis=0)
+                prev_gt = prev_d > m
+                run_d = jnp.where(gt, jnp.where(prev_gt, prev_d, m), run_d)
+                run_i = jnp.where(
+                    gt, jnp.where(prev_gt, prev_i, midx), run_i
+                )
+            rd[:] = run_d
+            ri[:] = run_i
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, visit, 0, unroll=1)
+
+        run_d, run_i = rd[:], ri[:]
+        rows_out = [
+            # winner indices as exact f32 (mp ≤ 1M < 2^24)
+            run_i[j:j + 1, :].astype(jnp.float32) for j in range(k)
+        ]
+        rows_out.append(run_d[k - 1:k, :])  # kth distance (diagnostic)
+        outr = (k + 8) // 8 * 8  # k idx rows + 1 dist, sublane-padded
+        rows_out += [jnp.zeros_like(rows_out[0])] * (outr - len(rows_out))
+        out_ref[:] = jnp.concatenate(rows_out, axis=0)
+
+    return kernel
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "block_q", "ts", "window", "interpret", "layout"),
@@ -279,7 +376,7 @@ def knn_moments_pallas(
     ts: int = 1024,
     window: int = 0,  # 0 = auto
     interpret: bool = False,
-    layout: str = "t",
+    layout: str = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exact self-kNN moments: returns (m1 [N,3] = Σ(p−q) over the k
     nearest, m2 [N,3,3] = Σ(p−q)(p−q)ᵀ, counts [N]) in ORIGINAL row
@@ -295,6 +392,14 @@ def knn_moments_pallas(
     (the table is 32 MB and the [ts, BQ] visit temporaries ~8 MB each
     at that size).
     """
+    if layout is None:
+        # Auto default (round-5 measurements): the 4-scratch "t" kernel
+        # wins IN COMPOSITION at scan scale (odometry 29.8 vs 31.2
+        # ms/scan — the "ti" winner gather pays the same composition
+        # tax as every other big gather in this codebase), while the
+        # index-only "ti" kernel wins at map scale where extraction
+        # passes dominate (399 vs 503 ms at 393k standalone).
+        layout = "t" if points.shape[0] <= 262_144 else "ti"
     if k > 64:
         raise ValueError(f"knn_moments_pallas supports k<=64, got {k}")
     if window and window < k:
@@ -399,6 +504,52 @@ def knn_moments_pallas(
     key = jnp.where(live, jnp.arange(n_tt, dtype=jnp.int32), jnp.int32(2**30))
     lists = jnp.sort(key, axis=1)[:, :L].reshape(1, n_qb * L)
 
+    if layout == "ti":
+        # Index-only kernel + XLA winner gather (round-5 experiment —
+        # see _make_topk_idx_kernel_T). Same exact-kNN membership; the
+        # moments are computed XLA-side from the gathered winners.
+        kp = (k + 7) // 8 * 8
+        outr = (k + 8) // 8 * 8
+        t = jnp.concatenate([sc_p, jnp.zeros((mp, 5), jnp.float32)], axis=1).T
+        q = jnp.concatenate([scq, jnp.zeros((qp, 5), jnp.float32)], axis=1).T
+        with jax.enable_x64(False):
+            out_t = pl.pallas_call(
+                _make_topk_idx_kernel_T(k, ts, L, kp),
+                grid=(n_qb,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((8, mp), lambda qi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, block_q), lambda qi: (0, qi),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((outr, block_q), lambda qi: (0, qi),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((outr, qp), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((kp, block_q), jnp.float32),
+                    pltpu.VMEM((kp, block_q), jnp.int32),
+                ],
+                interpret=interpret,
+                compiler_params=compiler_params,
+            )(lists, counts[None, :], t, q)
+        raw = out_t[:k, :n].T  # [N, k] winner rows as f32 (sorted order)
+        filled = raw < float(1 << 24)
+        idx = jnp.clip(raw.astype(jnp.int32), 0, mp - 1)
+        nb = sc_p[idx] - sc[:, None, :]  # [N, k, 3] query-centered
+        d2w_ = jnp.sum(nb * nb, axis=-1)
+        # sentinel winners and unfilled slots drop
+        v = (filled & (d2w_ < _VALID_SQ)).astype(jnp.float32)
+        nbv = nb * v[:, :, None]
+        m1s = jnp.sum(nbv, axis=1)  # [N, 3]
+        m2s = jnp.einsum("nka,nkb->nab", nbv, nb)
+        cnts = jnp.sum(v, axis=1)
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        return m1s[inv], m2s[inv], cnts[inv]
+
     if layout == "t":
         # Transposed layout: queries on lanes, targets on sublanes.
         kp = (k + 7) // 8 * 8
@@ -458,7 +609,7 @@ def knn_moments_pallas(
                 compiler_params=compiler_params,
             )(lists, counts[None, :], t, q)
     else:
-        raise ValueError(f"unknown layout {layout!r} (use 't' or 'q')")
+        raise ValueError(f"unknown layout {layout!r} (use 't', 'ti' or 'q')")
 
     # Unsort ONE compact [N,16] row table (the only gather this path
     # pays; the XLA pipeline gathers [N,k] neighbor rows instead).

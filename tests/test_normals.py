@@ -135,3 +135,29 @@ def test_fused_moments_mode_matches_exact(rng):
     # they should match exactly-ish)
     np.testing.assert_allclose(np.asarray(nrm_f), np.asarray(nrm_e),
                                atol=2e-3)
+
+
+def test_moments_ti_layout_matches_t(rng):
+    """Round-5 "ti" layout (index-only kernel + XLA winner gather) must
+    produce identical winners/moments to the 4-scratch "t" layout
+    (interpreter mode; auto default picks by cloud size — see
+    cov_fused_pallas module docstring)."""
+    import jax.numpy as jnp
+
+    from small_gicp_tpu.ops.cov_fused_pallas import knn_moments_pallas
+
+    n = 1500
+    xy = rng.uniform(-20, 20, size=(n, 2))
+    z = 0.4 * np.sin(0.2 * xy[:, 0]) + 0.02 * rng.normal(size=n)
+    pts = np.c_[xy[:, 0], xy[:, 1], z, np.ones(n)].astype(np.float32)
+    pts = np.concatenate([pts, np.full((60, 4), 1e9, np.float32)])
+    pts[n:, 3] = 0.0
+    P = jnp.asarray(pts)
+    nump = jnp.asarray(n, jnp.int32)
+    m1a, m2a, ca = knn_moments_pallas(P, nump, 10, interpret=True, layout="t")
+    m1b, m2b, cb = knn_moments_pallas(P, nump, 10, interpret=True, layout="ti")
+    np.testing.assert_array_equal(np.asarray(ca)[:n], np.asarray(cb)[:n])
+    np.testing.assert_allclose(np.asarray(m1a)[:n], np.asarray(m1b)[:n],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m2a)[:n], np.asarray(m2b)[:n],
+                               atol=1e-3)
