@@ -80,6 +80,21 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Clear JAX's in-process executable caches after each test module.
+
+    Round-5 finding: the full suite accumulates enough compiled XLA:CPU
+    executables in one process to exhaust `vm.max_map_count` (watched:
+    ~57k of the 65530 default mid-suite), at which point mmap fails and
+    the NEXT compile segfaults inside the XLA compiler — deterministic
+    at whichever test crosses the limit, invisible in isolation.
+    Clearing per module bounds live executables; the persistent
+    compilation cache keeps the re-compiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
