@@ -190,10 +190,14 @@ def main(argv=None) -> int:
     # N · T(1) / T(N). (The collective dispatch floor above is measured
     # separately and subtracted first; at these sizes it is negligible —
     # the r4 assertion that it dominates the curves was wrong.)
+    # Guard: on tiny runs the floor subtraction can reach (or cross)
+    # zero — clamp the denominator so the estimate degrades to "very
+    # large" instead of crashing after all measurements were taken.
     est = {
         mode: {
             nd: round(nd * results[mode][1]
-                      / corrected.get(mode, results[mode])[nd], 2)
+                      / max(corrected.get(mode, results[mode])[nd], 1e-3),
+                      2)
             for nd in meshes
         }
         for mode in ("batch_dp", "point_sp", "sharded_map")

@@ -91,10 +91,11 @@ class OdometryParams:
     # undershoot (the observed failure was an undershoot — ground
     # sliding; BENCHMARK.md frame-334). Set to ~0.5x the expected
     # per-frame motion; inactive until a motion estimate exists.
-    # Enforced by the jitted odometry_scan engines AND the eager
-    # model engines (ScanToModelOdometry / PlaneICPModelOdometry /
-    # VGICPModelOdometry); engines without a motion model (scan-to-scan,
-    # flow) warn at construction if it is set.
+    # Enforced by the jitted MODEL engines (gicp_model*, vgicp_model*,
+    # plane_icp_model*) AND the eager model engines (ScanToModelOdometry
+    # / PlaneICPModelOdometry / VGICPModelOdometry); engines without a
+    # motion model (scan-to-scan, flow) warn at construction if it is
+    # set.
     max_frame_motion: Optional[float] = None
     # ⊕ Live-row compaction budget for the `_fused` model engines
     # (jitted path only): compact the map-side target to this many live

@@ -492,6 +492,31 @@ class JitOdometry:
         self.chunk_times_ms: list = []  # wall ms per chunk (first includes compile)
         self.params = params or OdometryParams()
         self.engine = engine
+        # Loud param drops (advisor r5): scan-to-scan engines have no
+        # motion model, and the compaction knob only applies on the
+        # bruteforce/fused model path — don't let either silently no-op.
+        if engine.endswith("_scan"):
+            if self.params.max_frame_motion is not None:
+                import warnings
+
+                warnings.warn(
+                    f"JitOdometry({engine!r}) is scan-to-scan and has no "
+                    "constant-velocity motion model; max_frame_motion is "
+                    "ignored (supported by the jitted MODEL engines)",
+                    stacklevel=2,
+                )
+        if (
+            self.params.model_prepared_rows
+            and _model_nn_for(engine) != "bruteforce"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"JitOdometry({engine!r}): model_prepared_rows only "
+                "applies to the _fused (bruteforce-NN) model engines and "
+                "is ignored here",
+                stacklevel=2,
+            )
         self.carry, rtype = make_initial_carry(self.params, engine)
         if rtype is not None:
             self.registration_type = rtype

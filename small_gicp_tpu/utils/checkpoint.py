@@ -81,18 +81,18 @@ def _check_keypaths(data, template_names, template_treedef=None) -> None:
 
         if "__treedef__" in data.files and template_treedef is not None:
             saved_repr = bytes(data["__treedef__"]).decode(errors="replace")
-            warnings.warn(
-                "v1 checkpoint: leaf names absent; structure verified "
-                "only by leaf count/shape/dtype"
-                + (
-                    " and the saved treedef repr DIFFERS from the "
+            if saved_repr != str(template_treedef):
+                # Repr equality IS a structural check when it holds —
+                # only warn when it doesn't (repr churn across jax/flax
+                # versions is why this can't hard-fail).
+                warnings.warn(
+                    "v1 checkpoint: saved treedef repr DIFFERS from the "
                     "template's (may be jax version churn — verify the "
-                    "engine config matches the one that saved this file)"
-                    if saved_repr != str(template_treedef)
-                    else ""
-                ),
-                stacklevel=3,
-            )
+                    "engine config matches the one that saved this "
+                    "file); structure otherwise verified only by leaf "
+                    "count/shape/dtype",
+                    stacklevel=3,
+                )
         else:
             warnings.warn(
                 "v1 checkpoint without treedef record: structure "
@@ -100,18 +100,17 @@ def _check_keypaths(data, template_names, template_treedef=None) -> None:
                 stacklevel=3,
             )
         return
-    if version >= 2:
-        saved_names = [str(s) for s in data["__keypaths__"]]
-        if saved_names != list(template_names):
-            missing = sorted(set(template_names) - set(saved_names))
-            extra = sorted(set(saved_names) - set(template_names))
-            raise ValueError(
-                "checkpoint structure mismatch (by leaf names):\n"
-                f"  in engine but not checkpoint: {missing}\n"
-                f"  in checkpoint but not engine: {extra}\n"
-                "construct the engine with the same parameters and warm "
-                "state as when saving"
-            )
+    saved_names = [str(s) for s in data["__keypaths__"]]
+    if saved_names != list(template_names):
+        missing = sorted(set(template_names) - set(saved_names))
+        extra = sorted(set(saved_names) - set(template_names))
+        raise ValueError(
+            "checkpoint structure mismatch (by leaf names):\n"
+            f"  in engine but not checkpoint: {missing}\n"
+            f"  in checkpoint but not engine: {extra}\n"
+            "construct the engine with the same parameters and warm "
+            "state as when saving"
+        )
 
 
 def load_pytree(path: str, template: Any) -> Any:

@@ -251,9 +251,14 @@ def generate_sequence_device(
       * dropout — per-ray no-return probability (rain / dark surfaces /
         sparse returns; real scans lose 10-40% of rays).
       * n_dynamic / dynamic_speed — moving cylinder "vehicles"
-        traveling ALONG the loop corridor at dynamic_speed·frame_dist
-        m/frame relative to the sensor; their points violate the
-        static-world assumption exactly the way oncoming traffic does.
+        traveling ALONG the loop corridor at rel·frame_dist m/frame in
+        the WORLD frame, rel = ±dynamic_speed·U(0.6, 1.4) (half drive
+        the sensor's direction, half against it). At the default
+        speed (0.35) every object is slower than the sensor, so the
+        sensor overtakes the same-direction ones at ~0.5-0.8
+        frame-dists/frame of relative motion and meets the oncoming
+        ones at ~1.2-1.5; their returns violate the static-world
+        assumption the way real traffic does.
     """
     import jax
     import jax.numpy as jnp
@@ -267,9 +272,10 @@ def generate_sequence_device(
     F = n_frames if pad_frames_to is None else pad_frames_to
 
     # Dynamic objects: cylinders driving the loop at a different
-    # angular rate than the sensor (some oncoming, some overtaking),
-    # offset laterally into the corridor. Per-frame centers are
-    # precomputed host-side as a [F, D, 2] array the scan consumes.
+    # angular rate than the sensor (half same-direction and slower —
+    # the sensor overtakes them — half oncoming), offset laterally
+    # into the corridor. Per-frame centers are precomputed host-side
+    # as a [F, D, 2] array the scan consumes.
     rng_dyn = np.random.default_rng(seed + 7)
     if n_dynamic > 0:
         theta0 = rng_dyn.uniform(0, 2 * np.pi, n_dynamic)

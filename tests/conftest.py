@@ -28,34 +28,22 @@ if not _TPU_LANE:
     # var), so pin the platform through the config API, which wins.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Single-core CI box: persistent compilation cache makes re-runs cheap.
-# Namespaced per host fingerprint: cross-host XLA:CPU AOT cache reuse is
-# unsound (different CPU feature sets → different codegen/numerics; a
-# cached vs freshly-compiled program pair diverged ~2e-4 in round 5 and
-# flipped an LM accept — the sharded-vs-unsharded parity flake).
-import hashlib as _hashlib
-import platform as _platform
-
-_feats = ""
-try:
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith("flags"):
-                _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
-                break
-except OSError:
-    pass
-_fp = _hashlib.sha256(
-    (_platform.machine() + "|" + _feats).encode()
-).hexdigest()[:12]
-jax.config.update(
-    "jax_compilation_cache_dir", f"/root/.cache/jax/host-{_fp}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Single-core CI box: persistent compilation cache makes re-runs cheap.
+# Namespaced per host fingerprint (the ONE implementation lives in
+# utils/profiling.host_fingerprint): cross-host XLA:CPU AOT cache reuse
+# is unsound — foreign blobs load with "machine type mismatch ...
+# SIGILL" warnings and subtly different numerics.
+from small_gicp_tpu.utils.profiling import host_fingerprint
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/root/.cache/jax/{host_fingerprint()}",
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
