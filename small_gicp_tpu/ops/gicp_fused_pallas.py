@@ -1192,18 +1192,23 @@ def gicp_error_multi_pallas(
 # ======================================================================
 
 
-@partial(jax.jit, static_argnames=("block_q", "block_m", "ts"))
+@partial(jax.jit, static_argnames=("block_q", "block_m", "ts", "factor"))
 def gicp_fleet_prepare(
     target_points: jax.Array,  # [U,M,4]
-    target_covs: jax.Array,  # [U,M,3,3]
+    target_covs: jax.Array,  # [U,M,3,3] (GICP) or None
     source_points: jax.Array,  # [U,N,4]
-    source_covs: jax.Array,  # [U,N,3,3]
+    source_covs: jax.Array,  # [U,N,3,3] (GICP) or None
     num_points: jax.Array,  # [U] valid source rows
     block_q: int = 512,
     block_m: int = 1024,
     ts: int = _TS_DEFAULT,
+    factor: str = "gicp",
+    target_normals: jax.Array = None,  # [U,M,4] (plane_icp)
 ) -> Tuple[jax.Array, ...]:
     """gicp_prepare over U stacked pairs + per-query-block bboxes.
+
+    `factor` selects the per-pair payload exactly as in gicp_prepare
+    ("gicp" needs covs, "plane_icp" target normals, "icp" neither).
 
     Returns (ttabs [U,MP,16], tbs [U,n_tt*8], qtabs [U,16,QP],
     qbbs [U,n_qb,6]). qbbs are the UNtransformed per-block source
@@ -1212,11 +1217,29 @@ def gicp_fleet_prepare(
     bbox, so tile pruning stays exactness-preserving) instead of
     re-reducing QP transformed points every round.
     """
-    ttabs, tbs, qtabs, _srcs, _sperm, _ttabTs = jax.vmap(
-        lambda tp, tc, sp, sc, n: gicp_prepare(
-            tp, tc, sp, sc, n, block_q=block_q, block_m=block_m, ts=ts
-        )
-    )(target_points, target_covs, source_points, source_covs, num_points)
+    if factor == "gicp":
+        ttabs, tbs, qtabs, _srcs, _sperm, _ttabTs = jax.vmap(
+            lambda tp, tc, sp, sc, n: gicp_prepare(
+                tp, tc, sp, sc, n, block_q=block_q, block_m=block_m, ts=ts
+            )
+        )(target_points, target_covs, source_points, source_covs,
+          num_points)
+    elif factor == "plane_icp":
+        ttabs, tbs, qtabs, _srcs, _sperm, _ttabTs = jax.vmap(
+            lambda tp, tn, sp, n: gicp_prepare(
+                tp, None, sp, None, n, block_q=block_q, block_m=block_m,
+                ts=ts, factor="plane_icp", target_normals=tn,
+            )
+        )(target_points, target_normals, source_points, num_points)
+    elif factor == "icp":
+        ttabs, tbs, qtabs, _srcs, _sperm, _ttabTs = jax.vmap(
+            lambda tp, sp, n: gicp_prepare(
+                tp, None, sp, None, n, block_q=block_q, block_m=block_m,
+                ts=ts, factor="icp",
+            )
+        )(target_points, source_points, num_points)
+    else:
+        raise ValueError(f"unknown fused factor {factor!r}")
     tbs = tbs.reshape(tbs.shape[0], -1)  # [U,1,n_tt*8] -> [U,n_tt*8]
 
     u, _, qp = qtabs.shape
@@ -1285,7 +1308,7 @@ def _fleet_live_lists(tbs, qbbs, uids, Ts, max_dist_sq, active, L):
     return lists, counts
 
 
-@partial(jax.jit, static_argnames=("block_q", "interpret", "robust"))
+@partial(jax.jit, static_argnames=("block_q", "interpret", "robust", "factor"))
 def gicp_linearize_fleet(
     ttabs: jax.Array,  # [U,MP,16] from gicp_fleet_prepare
     tbs: jax.Array,  # [U,n_tt*8]
@@ -1299,6 +1322,7 @@ def gicp_linearize_fleet(
     interpret: bool = False,
     robust: str = None,
     robust_c=1.0,
+    factor: str = "gicp",
 ) -> Tuple[jax.Array, ...]:
     """Per-round fused search+linearize for B lanes over U pairs.
 
@@ -1348,7 +1372,7 @@ def gicp_linearize_fleet(
 
     kernel = partial(
         _fused_kernel_listed, ts=ts, L=L, transposed=False, qdim=1,
-        robust=robust,
+        robust=robust, factor=factor,
     )
 
     def fleet_kernel(uids_ref, nt_ref, lists_ref, counts_ref, t_ref,

@@ -26,10 +26,13 @@ new_e <= e, convergence on the accepted delta, abort when all trials
 fail (optimizer.hpp:100-144 semantics). Exactness vs per-problem
 align_impl is pinned by tests/test_fleet.py.
 
-Restrictions (the fused-kernel contract): GICP factor, LM optimizer,
-f32 clouds with covariances, no DoF mask. Huber/Cauchy robust kernels
-run fused (robust_kernel=/robust_c= — the weight is applied inside the
-linearize and trial-error kernels, same semantics as align_impl).
+Restrictions (the fused-kernel contract): LM optimizer, f32 clouds,
+no DoF mask. All three point factors run fused
+(registration_type="gicp"/"plane_icp"/"icp" — GICP needs covariances
+on both clouds, plane-ICP needs target normals), as do the
+Huber/Cauchy robust kernels (robust_kernel=/robust_c= — the weight is
+applied inside the linearize and trial-error kernels, same semantics
+as align_impl).
 """
 
 from __future__ import annotations
@@ -62,6 +65,7 @@ def _stack_single(cloud: PointCloud) -> PointCloud:
         "block_q",
         "interpret",
         "robust_kernel",
+        "registration_type",
     ),
 )
 def _fleet_run(
@@ -83,6 +87,7 @@ def _fleet_run(
     interpret: bool,
     robust_kernel: str = None,
     robust_c=1.0,
+    registration_type: str = "gicp",
 ):
     from small_gicp_tpu.ops.gicp_fused_pallas import (
         gicp_error_multi_fleet,
@@ -133,6 +138,7 @@ def _fleet_run(
             ttabs, tbs, qtabs, qbbs, uids, s["T"], md2, active,
             block_q=block_q, interpret=interpret,
             robust=robust_kernel, robust_c=robust_c,
+            factor=registration_type,
         )
 
         # Batched LM lambda trials (identical semantics to align_impl's
@@ -240,19 +246,24 @@ def _fleet_run(
 
 
 def fleet_prepare(targets: PointCloud, sources: PointCloud,
-                  block_q: int = 512):
+                  block_q: int = 512, registration_type: str = "gicp"):
     """Prepare U stacked pairs' fused-kernel tables once (see
     ops/gicp_fused_pallas.gicp_fleet_prepare). targets/sources may be a
-    single pair (no leading axis) or [U]-stacked pytrees; both must
-    carry covariances (GICP)."""
+    single pair (no leading axis) or [U]-stacked pytrees.
+    registration_type selects the factor: "gicp" (both clouds need
+    covariances), "plane_icp" (targets need normals), "icp"."""
     from small_gicp_tpu.ops.gicp_fused_pallas import gicp_fleet_prepare
 
     if targets.points.ndim == 2:
         targets = _stack_single(targets)
     if sources.points.ndim == 2:
         sources = _stack_single(sources)
-    if targets.covs is None or sources.covs is None:
-        raise ValueError("fleet registration is GICP: both clouds need covs")
+    if registration_type == "gicp" and (
+        targets.covs is None or sources.covs is None
+    ):
+        raise ValueError("GICP fleet registration: both clouds need covs")
+    if registration_type == "plane_icp" and targets.normals is None:
+        raise ValueError("plane-ICP fleet registration: targets need normals")
     if targets.points.dtype != jnp.float32:
         raise ValueError("fleet registration runs the f32 fused kernels")
     num = jnp.broadcast_to(
@@ -261,7 +272,8 @@ def fleet_prepare(targets: PointCloud, sources: PointCloud,
     )
     return gicp_fleet_prepare(
         targets.points, targets.covs, sources.points, sources.covs, num,
-        block_q=block_q,
+        block_q=block_q, factor=registration_type,
+        target_normals=targets.normals,
     )
 
 
@@ -283,8 +295,9 @@ def align_fleet(
     interpret: Optional[bool] = None,
     robust_kernel: Optional[str] = None,
     robust_c: float = 1.0,
+    registration_type: str = "gicp",
 ) -> RegistrationResult:
-    """Register P GICP problems through B persistent lanes.
+    """Register P registration problems through B persistent lanes.
 
     Args:
       targets/sources: one pair (2-D leaves) or [U]-stacked pairs. All
@@ -317,7 +330,8 @@ def align_fleet(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if prepared is None:
-        prepared = fleet_prepare(targets, sources, block_q=block_q)
+        prepared = fleet_prepare(targets, sources, block_q=block_q,
+                                 registration_type=registration_type)
     ttabs, tbs, qtabs, qbbs = prepared
 
     init_Ts = jnp.asarray(init_Ts, jnp.float32)
@@ -357,6 +371,7 @@ def align_fleet(
         interpret=bool(interpret),
         robust_kernel=robust_kernel,
         robust_c=robust_c,
+        registration_type=registration_type,
     )
 
 

@@ -267,3 +267,36 @@ def test_fleet_robust_matches_align_impl(fleet_problem, robust, c):
         np.testing.assert_allclose(
             float(r.error[p]), float(ref.error), rtol=1e-3
         )
+
+
+@pytest.mark.parametrize("factor", ["plane_icp", "icp"])
+def test_fleet_other_factors_match_align_impl(rng, factor):
+    """Round 5: the fleet runs all three fused factors
+    (registration_type=) — each problem must match align_impl with the
+    same factor (iterations, convergence, pose)."""
+    cap = 640
+    t0, s0 = _pair(rng, 500, 600, cap)
+    if factor == "plane_icp":
+        def with_normals(c):
+            n = np.asarray(rng.normal(size=(cap, 3)), np.float32)
+            n /= np.linalg.norm(n, axis=1, keepdims=True)
+            n4 = np.zeros((cap, 4), np.float32)
+            n4[:, :3] = n
+            return c.replace(normals=jnp.asarray(n4))
+        t0 = with_normals(t0)
+    init_Ts = _poses(rng, 3)
+    r = align_fleet(
+        t0, s0, init_Ts, num_lanes=2, registration_type=factor,
+    )
+    for p in range(3):
+        ref = align_impl(
+            t0, s0, None, init_Ts[p], registration_type=factor,
+            use_fused="never",
+        )
+        assert int(r.iterations[p]) == int(ref.iterations)
+        assert bool(r.converged[p]) == bool(ref.converged)
+        np.testing.assert_allclose(
+            np.asarray(r.T_target_source[p]),
+            np.asarray(ref.T_target_source),
+            atol=5e-4,
+        )

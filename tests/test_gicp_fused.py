@@ -258,3 +258,34 @@ def test_mxu_dist_variant_matches_vpu_form(rng):
     np.testing.assert_allclose(H1 / scale, H0 / scale, atol=5e-4)
     both = m0 & m1
     np.testing.assert_allclose(c1[13][both], c0[13][both], atol=1e-4)
+
+
+@pytest.mark.parametrize("factor", ["plane_icp", "icp"])
+def test_fused_robust_composes_with_other_factors(rng, factor):
+    """Robust weighting composes with the plane-ICP / ICP fused factors
+    exactly as with GICP (the weighted-LS form is shared)."""
+    target, source = _pair(rng)
+    if factor == "plane_icp":
+        nrm = rng.normal(size=(len(np.asarray(target.points)), 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        n4 = np.zeros((nrm.shape[0], 4), np.float32)
+        n4[:, :3] = nrm
+        target = target.replace(normals=jnp.asarray(n4))
+    T = se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.1, 0.08], jnp.float32))
+    max_d2 = jnp.asarray(1.0, jnp.float32)
+    corr = _search_correspondences(
+        factor, target, None, source.points, source.num_points,
+        None, T, max_d2,
+    )
+    H_ref, b_ref, _ = factors.linearize(
+        corr, T, source.points, robust_kernel="huber", robust_c=0.4
+    )
+    H, b, mu, W, mask, sq, corr16, sorted_src = gicp_linearize_pallas(
+        target.points, None, source.points, None,
+        T, source.num_points, max_d2, interpret=True, factor=factor,
+        target_normals=target.normals, robust="huber", robust_c=0.4,
+    )
+    assert np.array_equal(np.asarray(mask), np.asarray(corr.mask))
+    scale = max(1.0, float(np.abs(np.asarray(H_ref)).max()))
+    np.testing.assert_allclose(np.asarray(H) / scale,
+                               np.asarray(H_ref) / scale, atol=5e-4)
