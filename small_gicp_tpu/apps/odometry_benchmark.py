@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predict_motion", action="store_true",
                    help="constant-velocity initial guess (not in the "
                         "reference)")
+    p.add_argument("--solve_dtype", default="same",
+                   choices=("same", "float64"),
+                   help="dtype of the optimizer's 6x6 Newton solves; "
+                        "float64 = the reference's native solve "
+                        "precision at ~zero cost (48 scalars/iteration) "
+                        "— fixes the fine-voxel f32 undershoot "
+                        "(BENCHMARK.md frame-335)")
     return p
 
 
@@ -130,6 +137,7 @@ def main(argv=None) -> int:
         num_offsets=args.num_offsets,
         predict_motion=args.predict_motion,
         model_prepared_rows=args.model_prepared_rows,
+        solve_dtype=args.solve_dtype,
     )
     if args.engine in JIT_ENGINES:
         # Fully-jitted loop: whole chunks of frames run as ONE XLA

@@ -106,6 +106,13 @@ class OdometryParams:
     # benchmark world holds ~35k live points in a 327k-row map). None =
     # off (full-capacity tables, exact by construction).
     model_prepared_rows: Optional[int] = None
+    # Dtype of the optimizer's 6x6 Newton solves ("same" | "float64");
+    # see align_impl(solve_dtype=...). f32 Cholesky on a fine-voxel-
+    # conditioned H can undershoot (BENCHMARK.md frame-335); the f64
+    # solve costs 48 scalars per iteration and consumes the fused
+    # kernel's f64-accumulated H before its f32 truncation. Default
+    # "same" for round-to-round comparability.
+    solve_dtype: str = "same"
 
 
 class _OdometryBase:
@@ -187,6 +194,7 @@ class ScanToScanOdometry(_OdometryBase):
         self.reg = Registration(
             registration_type=self.registration_type,
             max_correspondence_distance=p.max_correspondence_distance,
+            solve_dtype=p.solve_dtype,
         )
         self._prev: Optional[PointCloud] = None
         self.T_world = jnp.eye(4, dtype=p.dtype)
@@ -232,6 +240,7 @@ class ScanToModelOdometry(_OdometryBase):
         self.reg = Registration(
             registration_type="gicp",
             max_correspondence_distance=p.max_correspondence_distance,
+            solve_dtype=p.solve_dtype,
         )
         self.voxelmap = IncrementalVoxelMap.empty(
             p.voxel_resolution,
@@ -289,6 +298,7 @@ class PlaneICPModelOdometry(ScanToModelOdometry):
         self.reg = Registration(
             registration_type="plane_icp",
             max_correspondence_distance=p.max_correspondence_distance,
+            solve_dtype=p.solve_dtype,
         )
         self.voxelmap = IncrementalVoxelMap.empty(
             p.voxel_resolution,
@@ -321,7 +331,8 @@ class VGICPModelOdometry(_OdometryBase):
     def __init__(self, params: Optional[OdometryParams] = None):
         super().__init__(params)
         p = self.params
-        self.reg = Registration(registration_type="vgicp")
+        self.reg = Registration(registration_type="vgicp",
+                                solve_dtype=p.solve_dtype)
         self.voxelmap = GaussianVoxelMap.empty(
             p.voxel_resolution, capacity=p.map_capacity, dtype=p.dtype,
             num_offsets=p.num_offsets,
@@ -368,7 +379,8 @@ class VGICPScanToScanOdometry(_OdometryBase):
     def __init__(self, params: Optional[OdometryParams] = None):
         super().__init__(params)
         p = self.params
-        self.reg = Registration(registration_type="vgicp")
+        self.reg = Registration(registration_type="vgicp",
+                                solve_dtype=p.solve_dtype)
         self._prev_map: Optional[GaussianVoxelMap] = None
         self.T_world = jnp.eye(4, dtype=p.dtype)
 

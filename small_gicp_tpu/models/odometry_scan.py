@@ -37,7 +37,7 @@ from small_gicp_tpu.models.odometry import OdometryParams
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
         "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
-        "model_prepared_rows",
+        "model_prepared_rows", "solve_dtype",
     ),
 )
 def odometry_scan_step(
@@ -54,6 +54,7 @@ def odometry_scan_step(
     model_rtype: str = "gicp",
     max_frame_motion: float = 0.0,
     model_prepared_rows: int = 0,
+    solve_dtype: str = "same",
 ):
     """One odometry step; carry = (T_world [4,4], T_delta [4,4],
     voxelmap, is_first). T_delta is the last frame-to-frame motion; with
@@ -174,6 +175,7 @@ def odometry_scan_step(
         guess,
         registration_type=model_rtype,
         max_dist_sq=max_correspondence_distance**2,
+        solve_dtype=solve_dtype,
     )
     real = frame_count > 0
     from small_gicp_tpu.utils.lie import orthonormalize
@@ -326,7 +328,7 @@ def odometry_scan_s2s(
     static_argnames=(
         "max_downsampled", "num_neighbors", "covariance_mode",
         "predict_motion", "model_nn", "model_rtype", "max_frame_motion",
-        "model_prepared_rows",
+        "model_prepared_rows", "solve_dtype",
     ),
 )
 def odometry_scan(
@@ -343,6 +345,7 @@ def odometry_scan(
     model_rtype: str = "gicp",
     max_frame_motion: float = 0.0,
     model_prepared_rows: int = 0,
+    solve_dtype: str = "same",
 ):
     """Run a chunk of frames through the odometry loop in one program.
 
@@ -365,6 +368,7 @@ def odometry_scan(
             model_rtype=model_rtype,
             max_frame_motion=max_frame_motion,
             model_prepared_rows=model_prepared_rows,
+            solve_dtype=solve_dtype,
         )
 
     return jax.lax.scan(step, carry, (frames, counts))
@@ -557,6 +561,7 @@ class JitOdometry:
             model_rtype=_model_rtype_for(self.engine),
             max_frame_motion=float(p.max_frame_motion or 0.0),
             model_prepared_rows=int(p.model_prepared_rows or 0),
+            solve_dtype=p.solve_dtype,
         )
         return poses
 

@@ -203,6 +203,7 @@ def _converged(delta, rotation_eps, translation_eps):
         "verbose",
         "use_fused",
         "psum_axis",
+        "solve_dtype",
     ),
 )
 def align_impl(
@@ -227,6 +228,7 @@ def align_impl(
     verbose: bool = False,
     use_fused: str = "auto",
     psum_axis: Optional[str] = None,
+    solve_dtype: str = "same",
 ) -> RegistrationResult:
     """Jitted registration. See module docstring for semantics.
 
@@ -243,6 +245,16 @@ def align_impl(
     accumulator + join (reduction_omp.hpp:32-58): 43 floats + K trial
     errors per iteration ride the interconnect, nothing else.
 
+    solve_dtype: dtype of the 6x6 Newton solves. "same" (default) solves
+    in the cloud dtype; "float64" factors (H + λI) in f64 — the
+    reference's native solve precision (optimizer.hpp:46,109 LDLT over
+    Eigen doubles). At fine voxel sizes the Mahalanobis weights make H
+    ill-conditioned enough (κ ~ 1/σ² of the thinnest voxel) that an f32
+    Cholesky loses the small-pivot directions and the step UNDERSHOOTS;
+    the f64 solve is 48 scalars on the optimizer's critical path
+    (emulated f64, nanoseconds) and on the fused path consumes the
+    kernel's f64-accumulated H *before* its f32 truncation.
+
     use_fused: "auto" routes the plain-cloud / f32 / TPU case (any
     factor, optionally Huber/Cauchy-robustified)
     through the single fused Pallas search+linearize kernel
@@ -254,6 +266,20 @@ def align_impl(
     dtype = source.points.dtype
     init_T = jnp.asarray(init_T, dtype)
     max_dist_sq = jnp.asarray(max_dist_sq, dtype)
+
+    if solve_dtype == "same":
+        _solve_dt = dtype
+    else:
+        _solve_dt = jnp.dtype(solve_dtype)
+        if _solve_dt == jnp.float64 and not factors._X64_AVAILABLE_AT_IMPORT:
+            _solve_dt = dtype  # x64 unavailable: degrade gracefully
+
+    def _solve(H, b, lam):
+        """(H + λI)·x = b in solve_dtype, result cast back to dtype."""
+        return solve6x6(
+            H.astype(_solve_dt), b.astype(_solve_dt),
+            lam.astype(_solve_dt),
+        ).astype(dtype)
 
     source_covs = source.covs if registration_type == GICP else None
 
@@ -336,9 +362,13 @@ def align_impl(
                 factor=registration_type,
                 robust=robust_kernel, robust_c=robust_c,
             )
+            # With an f64 solve, hand the kernel's f64-accumulated H/b
+            # to the solver UN-truncated (the f32 rounding of H alone
+            # costs eps32·κ(H) relative step error, which is what the
+            # wider solve is here to avoid).
             return (
-                _dof(H.astype(dtype)),
-                b.astype(dtype),
+                _dof(H.astype(_solve_dt)),
+                b.astype(_solve_dt),
                 None,
                 inliers.astype(jnp.int32),
                 (corr16, f_src),
@@ -407,7 +437,8 @@ def align_impl(
                     robust=robust_kernel, robust_c=robust_c,
                 )[0]
             e = e.astype(factors._error_accum_dtype(dtype))
-            delta = solve6x6(H, -b, jnp.asarray(gn_lambda, dtype))
+            delta = _solve(H, -b, jnp.asarray(gn_lambda, dtype))
+            H, b = H.astype(dtype), b.astype(dtype)
             conv = _converged(delta, rot_eps, trans_eps)
             # GN applies the update even on the converging iteration
             # (optimizer.hpp:52-53).
@@ -455,7 +486,8 @@ def align_impl(
             lambdas = s.lam * jnp.asarray(lambda_factor, dtype) ** jnp.arange(
                 K, dtype=dtype
             )
-            deltas = jax.vmap(lambda l: solve6x6(H, -b, l))(lambdas)  # [K,6]
+            deltas = jax.vmap(lambda l: _solve(H, -b, l))(lambdas)  # [K,6]
+            H, b = H.astype(dtype), b.astype(dtype)
             Ts = jnp.einsum("ab,kbc->kac", s.T, jax.vmap(se3_exp)(deltas),
                                precision=jax.lax.Precision.HIGHEST)
             if e0 is None:
@@ -554,6 +586,7 @@ class Registration:
         dof_rotation_mask=None,
         dof_translation_mask=None,
         verbose: bool = False,
+        solve_dtype: str = "same",
     ):
         if registration_type not in (ICP, PLANE_ICP, GICP, "vgicp"):
             raise ValueError(f"unknown registration type {registration_type!r}")
@@ -567,6 +600,7 @@ class Registration:
         self.rotation_eps = rotation_eps
         self.translation_eps = translation_eps
         self.verbose = verbose
+        self.solve_dtype = solve_dtype
         if dof_rotation_mask is not None or dof_translation_mask is not None:
             rm = [1.0, 1.0, 1.0] if dof_rotation_mask is None else list(dof_rotation_mask)
             tm = [1.0, 1.0, 1.0] if dof_translation_mask is None else list(dof_translation_mask)
@@ -603,6 +637,7 @@ class Registration:
             translation_eps=self.translation_eps,
             dof_mask=self.dof_mask,
             verbose=self.verbose,
+            solve_dtype=self.solve_dtype,
         )
 
 

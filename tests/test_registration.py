@@ -241,3 +241,65 @@ def test_vgicp_helper_warns_on_dropped_max_distance(preprocessed):
     assert not any(
         "max_correspondence_distance" in str(w.message) for w in rec
     )
+
+
+def test_solve_dtype_f64_parity_when_well_conditioned(preprocessed):
+    """solve_dtype='float64' (the reference's native LDLT-over-doubles
+    solve precision, optimizer.hpp:46,109) must land on the same pose
+    as the f32 solve on a well-conditioned problem, for both
+    optimizers — it is a numerics upgrade, not a behavior change."""
+    target, target_tree, source, _, T_gt = preprocessed
+    for opt in ("lm", "gn"):
+        r32 = sgt.Registration(
+            registration_type="gicp", optimizer=opt
+        ).align(target, source, target_tree)
+        r64 = sgt.Registration(
+            registration_type="gicp", optimizer=opt, solve_dtype="float64"
+        ).align(target, source, target_tree)
+        _check(r64.T_target_source, T_gt, f"solve_dtype f64 {opt}")
+        d = float(
+            np.abs(
+                np.asarray(r32.T_target_source)
+                - np.asarray(r64.T_target_source)
+            ).max()
+        )
+        assert d < 1e-4, f"{opt}: f64-solve diverged from f32 solve by {d}"
+
+
+def test_solve_dtype_f64_recovers_ill_conditioned_step():
+    """An ill-conditioned normal system (kappa ~ 1e9, the fine-voxel
+    Mahalanobis regime of BENCHMARK.md frame-335) makes the f32
+    Cholesky step undershoot along the small-pivot directions; the f64
+    solve recovers the true Newton step. Direct solve-level check
+    against numpy's f64 solve."""
+    from small_gicp_tpu.ops.eigh3 import solve6x6
+
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    eigs = np.array([1e9, 3e8, 1e6, 3e3, 10.0, 1.0])
+    H = (Q * eigs) @ Q.T
+    H = 0.5 * (H + H.T)
+    x_true = rng.normal(size=(6,))
+    b = H @ x_true
+
+    x64 = np.asarray(
+        solve6x6(
+            jnp.asarray(H, jnp.float64),
+            jnp.asarray(b, jnp.float64),
+            jnp.asarray(0.0, jnp.float64),
+        )
+    )
+    x32 = np.asarray(
+        solve6x6(
+            jnp.asarray(H, jnp.float32),
+            jnp.asarray(b, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+    ).astype(np.float64)
+
+    err64 = np.linalg.norm(x64 - x_true) / np.linalg.norm(x_true)
+    err32 = np.linalg.norm(x32 - x_true) / np.linalg.norm(x_true)
+    assert err64 < 1e-6, f"f64 solve off by {err64}"
+    # The f32 solve of the SAME system is orders of magnitude worse —
+    # this is the failure mode solve_dtype='float64' exists to fix.
+    assert err32 > 100 * err64
