@@ -39,6 +39,16 @@ def main(argv=None) -> int:
     ap.add_argument("--xla64-thresh", type=float, default=0.3,
                     help="run the (slow, emulated) f64 control only on "
                          "frames whose base step error exceeds this")
+    ap.add_argument("--carry", default=None,
+                    help="checkpoint path for the warmed odometry state: "
+                         "loaded if it exists, saved after warmup "
+                         "otherwise (skips the ~320-frame warmup on "
+                         "re-runs)")
+    ap.add_argument("--deep", action="store_true",
+                    help="at each window frame, additionally probe "
+                         "target-table variants (live count, compacted "
+                         "target through the FUSED path, compacted "
+                         "f32 XLA) to separate content from path")
     args = ap.parse_args(argv)
     lo, hi = args.window
 
@@ -73,16 +83,27 @@ def main(argv=None) -> int:
     frames = [read_kitti_bin(p) for p in paths]
     n_warm = (lo // 16) * 16  # whole chunks up to the window
 
-    stacked, counts = odom._stack_frames(frames[:n_warm], n_warm)
-    stacked = jnp.asarray(stacked)
-    counts = jnp.asarray(counts)
     poses = []
-    for c in range(n_warm // 16):
-        p = odom._run_chunk(stacked[c * 16:(c + 1) * 16],
-                            counts[c * 16:(c + 1) * 16])
-        poses.append(np.asarray(p))
-        print(f"warmed frames 0..{(c + 1) * 16 - 1}", file=sys.stderr)
-    poses = list(np.concatenate(poses)) if poses else []
+    if args.carry and os.path.exists(args.carry):
+        from small_gicp_tpu.utils.checkpoint import load_pytree
+
+        odom.carry = load_pytree(args.carry, odom.carry)
+        print(f"loaded warmed state from {args.carry}", file=sys.stderr)
+    else:
+        stacked, counts = odom._stack_frames(frames[:n_warm], n_warm)
+        stacked = jnp.asarray(stacked)
+        counts = jnp.asarray(counts)
+        for c in range(n_warm // 16):
+            p = odom._run_chunk(stacked[c * 16:(c + 1) * 16],
+                                counts[c * 16:(c + 1) * 16])
+            poses.append(np.asarray(p))
+            print(f"warmed frames 0..{(c + 1) * 16 - 1}", file=sys.stderr)
+        poses = list(np.concatenate(poses)) if poses else []
+        if args.carry:
+            from small_gicp_tpu.utils.checkpoint import save_pytree
+
+            save_pytree(args.carry, odom.carry)
+            print(f"saved warmed state to {args.carry}", file=sys.stderr)
 
     def prep_cloud(i):
         """The step's own preprocessing (covariance_mode='knn')."""
@@ -146,6 +167,29 @@ def main(argv=None) -> int:
             res_rc = align_impl(t_rc, cloud, None, tr @ guess, **ALIGN_KW)
             T_rc = jnp.linalg.inv(tr) @ res_rc.T_target_source
             report("recenter", res_rc, T_rc)
+
+            if args.deep:
+                from small_gicp_tpu.point_cloud import compact_cloud
+
+                live = int(np.asarray(target.num_points))
+                print(f"frame={i} live_rows={live} "
+                      f"capacity={target.points.shape[0]}", flush=True)
+                # Knife-edge test: a 1 mm guess perturbation through the
+                # IDENTICAL fused program. If the basin flips, the frame
+                # is a bimodal landscape at the seed's basin edge and
+                # sub-ulp arithmetic details pick the minimum — not a
+                # numerics defect in any one path.
+                for dz in (1e-3, -1e-3, 1e-2):
+                    g2 = guess.at[2, 3].add(jnp.float32(dz))
+                    r_j = align_impl(target, cloud, None, g2, **ALIGN_KW)
+                    report(f"jitter_z{dz:+g}", r_j, r_j.T_target_source)
+                # Compacted target through the FUSED path: same content
+                # as compact32/xla64 (if live <= budget), same code
+                # path as base — separates content from path.
+                t_small = compact_cloud(target, 49152)
+                res_cf = align_impl(t_small, cloud, None, guess,
+                                    **ALIGN_KW)
+                report("compact_fused", res_cf, res_cf.T_target_source)
 
             if abs(est - real) > args.xla64_thresh:
                 # f64 control: the full-capacity brute-force distance
